@@ -1,0 +1,16 @@
+"""TPU-native ODE solver library.
+
+The engine layer of the framework — the capability of the reference's
+vendored torchdiffeq (SURVEY.md §2.2) rebuilt as compiled JAX loops with
+per-sample adaptive stepping.  Public surface:
+
+  * :func:`odeint` — forward solves, all methods.
+  * :func:`odeint_adjoint` — O(1)-memory training via the augmented
+    reverse-time adjoint ODE (``jax.custom_vjp``).
+  * :class:`SolveStats` — functional NFE / step accounting.
+"""
+
+from .adjoint import odeint_adjoint
+from .odeint import SOLVERS, SolveStats, odeint
+
+__all__ = ["odeint", "odeint_adjoint", "SolveStats", "SOLVERS"]

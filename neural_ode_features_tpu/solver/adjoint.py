@@ -1,0 +1,193 @@
+"""Adjoint-method gradients: O(1)-memory backprop through ``odeint``.
+
+Capability parity with the reference's ``odeint_adjoint`` (reference:
+torchdiffeq/_impl/adjoint.py ``OdeintAdjointMethod`` / ``augmented_dynamics``
+— UNVERIFIED, empty mount, SURVEY.md §0/§3.4), rebuilt as a
+``jax.custom_vjp``:
+
+  * Forward: a plain :func:`~.odeint.odeint` solve (no tape).
+  * Backward: integrate the augmented state ``(y, a_y, a_θ, a_t)`` in reverse
+    time interval-by-interval with ``lax.scan``, restarting ``y`` from the
+    stored observation at each grid point (exactly the reference's scheme —
+    bounded drift) and adding the incoming cotangent ``g_i`` to ``a_y`` at
+    each observation time.  The vector–Jacobian products
+    ``a_y·∂f/∂{y,θ,t}`` come from one ``jax.vjp`` per dynamics evaluation.
+  * Gradients w.r.t. the observation times ``ts`` are produced too:
+    ``dL/dt_i = g_i · f(t_i, y_i)`` for i ≥ 1 and the accumulated
+    ``a_t(t_0)`` for the initial time.
+
+The dynamics signature here is ``func(params, t, y)`` with *explicit*
+parameters — the differentiable quantities must be positional arguments of
+the ``custom_vjp`` function, which is why the model layer passes its
+parameter pytree explicitly rather than closing over it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .odeint import odeint
+
+__all__ = ["odeint_adjoint"]
+
+
+def _tree_vdot(a: Any, b: Any) -> jnp.ndarray:
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    return sum(
+        jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b, strict=True)
+    )
+
+
+def _freeze(d: dict) -> tuple:
+    return tuple(sorted(d.items()))
+
+
+def _thaw(t: tuple) -> dict:
+    return dict(t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _odeint_adjoint(func, cfg, params, y0, ts):
+    kw = _thaw(cfg)
+    kw.pop("adjoint_rtol", None)
+    kw.pop("adjoint_atol", None)
+    kw.pop("adjoint_max_steps", None)
+    ys, stats = odeint(lambda t, y: func(params, t, y), y0, ts, **kw)
+    return ys, stats
+
+
+def _fwd(func, cfg, params, y0, ts):
+    out = _odeint_adjoint(func, cfg, params, y0, ts)
+    ys, _stats = out
+    return out, (params, y0, ts, ys)
+
+
+def _bwd(func, cfg, residuals, cotangents):
+    params, y0, ts, ys = residuals
+    g_ys, _g_stats = cotangents
+    kw = _thaw(cfg)
+
+    rtol = kw.get("adjoint_rtol") or kw.get("rtol", 1e-7)
+    atol = kw.get("adjoint_atol") or kw.get("atol", 1e-9)
+    solve_kw = dict(
+        rtol=rtol,
+        atol=atol,
+        method=kw.get("method", "dopri5"),
+        max_steps=kw.get("adjoint_max_steps") or kw.get("max_steps", 2**14),
+        # The augmented state couples every sample through shared a_θ, so the
+        # backward solve always uses batch-global error control (as the
+        # reference does for everything).
+        error_control="global",
+        unroll=kw.get("unroll", "while"),
+        steps_per_interval=kw.get("steps_per_interval", 1),
+    )
+
+    def aug_dynamics(t, aug):
+        y, a_y = aug["y"], aug["a_y"]
+
+        def f_closed(p, t_, y_):
+            return func(p, t_, y_)
+
+        f_val, vjp_fn = jax.vjp(f_closed, params, t, y)
+        v_p, v_t, v_y = vjp_fn(a_y)
+        return {
+            "y": f_val,
+            "a_y": jax.tree.map(jnp.negative, v_y),
+            "a_p": jax.tree.map(jnp.negative, v_p),
+            "a_t": -v_t,
+        }
+
+    n_times = ts.shape[0]
+    t_dtype = ts.dtype
+
+    a_y0 = jax.tree.map(jnp.zeros_like, y0)
+    a_p0 = jax.tree.map(jnp.zeros_like, params)
+    a_t0 = jnp.zeros((), t_dtype)
+
+    if n_times < 2:
+        a_y = jax.tree.map(
+            lambda g, z: z + g[0], g_ys, a_y0
+        )
+        return a_p0, a_y, jnp.zeros_like(ts)
+
+    def interval(carry, xs):
+        a_y, a_p, a_t = carry
+        t_hi, t_lo, g_i, y_i = xs
+
+        a_y = jax.tree.map(lambda a, g: a + g, a_y, g_i)
+        # dL/dt_i from shifting the i-th observation time.
+        f_i = func(params, t_hi, y_i)
+        g_t_i = _tree_vdot(g_i, f_i).astype(t_dtype)
+        a_t = a_t - g_t_i
+
+        aug0 = {"y": y_i, "a_y": a_y, "a_p": a_p, "a_t": a_t}
+        span = jnp.stack([t_hi, t_lo])
+        aug_traj, _ = odeint(aug_dynamics, aug0, span, **solve_kw)
+        aug1 = jax.tree.map(lambda x: x[-1], aug_traj)
+        return (aug1["a_y"], aug1["a_p"], aug1["a_t"]), g_t_i
+
+    # Reverse-ordered per-interval inputs: i = T-1 … 1.
+    rev = lambda x: jnp.flip(x, axis=0)
+    xs = (
+        rev(ts[1:]),
+        rev(ts[:-1]),
+        jax.tree.map(lambda g: rev(g[1:]), g_ys),
+        jax.tree.map(lambda y: rev(y[1:]), ys),
+    )
+    (a_y, a_p, a_t), g_t_rev = lax.scan(interval, (a_y0, a_p0, a_t0), xs)
+
+    a_y = jax.tree.map(lambda a, g: a + g[0], a_y, g_ys)
+    grad_ts = jnp.zeros_like(ts).at[1:].set(rev(g_t_rev)).at[0].set(a_t)
+    return a_p, a_y, grad_ts
+
+
+_odeint_adjoint.defvjp(_fwd, _bwd)
+
+
+def odeint_adjoint(
+    func: Callable[[Any, Any, Any], Any],
+    params: Any,
+    y0: Any,
+    ts: jnp.ndarray,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    error_control: str = "global",
+    max_steps: int = 2**14,
+    unroll: str = "while",
+    steps_per_interval: int = 1,
+    adjoint_rtol: float | None = None,
+    adjoint_atol: float | None = None,
+    adjoint_max_steps: int | None = None,
+):
+    """Like :func:`~.odeint.odeint` but differentiable w.r.t. ``params``,
+    ``y0`` and ``ts`` via the augmented reverse-time adjoint ODE.
+
+    ``func(params, t, y)`` must be a pure function of its explicit arguments.
+    ``adjoint_{rtol,atol,max_steps}`` override the backward-solve tolerances
+    (default: same as forward).
+
+    Returns ``(ys, SolveStats)``; the stats carry no gradient.
+    """
+    cfg = _freeze(
+        dict(
+            rtol=rtol,
+            atol=atol,
+            method=method,
+            error_control=error_control,
+            max_steps=max_steps,
+            unroll=unroll,
+            steps_per_interval=steps_per_interval,
+            adjoint_rtol=adjoint_rtol,
+            adjoint_atol=adjoint_atol,
+            adjoint_max_steps=adjoint_max_steps,
+        )
+    )
+    return _odeint_adjoint(func, cfg, params, y0, jnp.asarray(ts))

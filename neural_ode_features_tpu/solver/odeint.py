@@ -1,0 +1,126 @@
+"""``odeint`` — the framework's front door to ODE integration.
+
+Capability parity with the reference's solver entry point (reference:
+torchdiffeq/_impl/odeint.py ``odeint`` and its ``SOLVERS`` dispatch dict —
+UNVERIFIED, empty mount, SURVEY.md §0/§2.2), redesigned for TPU:
+
+  * The user passes ``func(t, y)`` over an arbitrary pytree state; the front
+    door flattens to a ``(B, N)`` matrix once and the entire solve runs as a
+    single compiled on-device loop.
+  * ``error_control='per_sample'`` (the TPU-native default for batched
+    states): every batch row gets its own adaptive step sequence and NFE
+    count — the reference cannot do this (its error norm reduces over the
+    whole batch, SURVEY.md §2.4).
+  * ``error_control='global'`` reproduces the reference's batch-global
+    semantics exactly (one norm over the whole flattened state), for
+    NFE-parity comparisons against torchdiffeq.
+
+Returns ``(ys, SolveStats)`` — NFE is data, not a mutable counter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from .fixed_grid import FIXED_GRID_METHODS, fixed_grid_odeint
+from .ravel import ravel_batched, ravel_full
+from .runge_kutta import SolveStats, adaptive_odeint
+from .tableau import ADAPTIVE_TABLEAUS
+
+__all__ = ["odeint", "SOLVERS", "SolveStats"]
+
+SOLVERS: tuple[str, ...] = tuple(ADAPTIVE_TABLEAUS) + FIXED_GRID_METHODS
+
+
+def odeint(
+    func: Callable[[Any, Any], Any],
+    y0: Any,
+    ts: jnp.ndarray,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    error_control: str = "global",
+    max_steps: int = 2**14,
+    first_step: float | None = None,
+    unroll: str = "while",
+    steps_per_interval: int = 1,
+) -> tuple[Any, SolveStats]:
+    """Solve ``dy/dt = func(t, y)`` from ``y0`` over times ``ts``.
+
+    Args:
+      func: dynamics. With ``error_control='global'`` it receives a scalar
+        ``t`` and the state pytree unchanged (reference semantics).  With
+        ``'per_sample'`` it receives ``t`` of shape ``(B,)`` and state leaves
+        with leading batch axis ``B``; it must broadcast ``t`` per sample.
+      y0: initial state pytree (floating leaves).
+      ts: (T,) strictly monotonic times, T >= 1; ``ts[0]`` is the initial
+        time.  Both time directions supported.
+      rtol, atol: tolerances (adaptive methods).
+      method: one of :data:`SOLVERS` — adaptive: ``dopri5`` (default),
+        ``bosh3``, ``fehlberg2``, ``tsit5``; fixed-grid: ``euler``,
+        ``midpoint``, ``heun2``, ``rk4``, ``fixed_adams``.
+      error_control: ``'global'`` | ``'per_sample'`` (see module docstring).
+      max_steps: bound on adaptive loop iterations.
+      first_step: optional fixed initial step size (adaptive methods).
+      unroll: ``'while'`` (fast, on-device early exit) or ``'scan'``
+        (reverse-differentiable; use small ``max_steps``).
+      steps_per_interval: substeps per ``ts`` interval (fixed-grid methods).
+
+    Returns:
+      ys: pytree like ``y0`` with a new leading time axis ``T``.
+      stats: :class:`SolveStats` with per-sample ``nfe`` (shape ``(B,)`` for
+        per-sample control, ``(1,)`` for global).
+    """
+    if method not in SOLVERS:
+        raise ValueError(f"unknown method {method!r}; available: {SOLVERS}")
+    if error_control not in ("global", "per_sample"):
+        raise ValueError(f"unknown error_control {error_control!r}")
+
+    ts = jnp.asarray(ts)
+    if ts.ndim != 1:
+        raise ValueError(f"ts must be 1-D, got shape {ts.shape}")
+
+    if error_control == "per_sample":
+        flat0, unravel, flatten = ravel_batched(y0)
+
+        def flat_func(t, y_flat):
+            return flatten(func(t, unravel(y_flat)))
+
+    else:
+        flat0, unravel, flatten = ravel_full(y0)
+
+        def flat_func(t, y_flat):
+            return flatten(func(t[0], unravel(y_flat)))
+
+    if ts.shape[0] == 1:
+        ys = flat0[None]
+        batch = flat0.shape[0]
+        stats = SolveStats(
+            nfe=jnp.zeros((batch,), jnp.int32),
+            naccept=jnp.zeros((batch,), jnp.int32),
+            nreject=jnp.zeros((batch,), jnp.int32),
+            success=jnp.ones((batch,), bool),
+        )
+        return unravel(ys), stats
+
+    if method in ADAPTIVE_TABLEAUS:
+        ys, stats = adaptive_odeint(
+            flat_func,
+            flat0,
+            ts,
+            rtol,
+            atol,
+            ADAPTIVE_TABLEAUS[method],
+            max_steps=max_steps,
+            first_step=first_step,
+            unroll=unroll,
+        )
+    else:
+        ys, stats = fixed_grid_odeint(
+            flat_func, flat0, ts, method, steps_per_interval=steps_per_interval
+        )
+
+    return unravel(ys), stats

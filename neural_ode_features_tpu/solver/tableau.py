@@ -1,0 +1,302 @@
+"""Butcher tableaus and dense-output interpolation machinery.
+
+TPU-native rebuild of the solver-constant layer of the reference's vendored
+torchdiffeq library (reference: torchdiffeq/_impl/rk_common.py,
+torchdiffeq/_impl/dopri5.py, torchdiffeq/_impl/interp.py — UNVERIFIED, the
+reference mount was empty; see SURVEY.md §0/§2.2).
+
+Design notes (why this is not a translation):
+  * Tableaus are plain numpy constants baked at trace time — XLA constant-folds
+    the stage combinations, so there is no per-step host round trip.
+  * Dense output is expressed as a *generic* polynomial collocation: we solve
+    the (constant) linear system mapping endpoint/midpoint data to monomial
+    coefficients once at import with numpy, instead of hand-writing the
+    Shampine interpolant formulas.  A quartic (needs a 5th-order-accurate
+    midpoint, available for dopri5 via C_MID) or a cubic Hermite (any tableau)
+    falls out of the same code path.
+  * Every tableau is self-checked at import against Runge–Kutta order
+    conditions (row-sum consistency, quadrature conditions) so a typo in a
+    coefficient fails fast rather than silently degrading convergence order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction as Fr
+
+import numpy as np
+
+__all__ = [
+    "ButcherTableau",
+    "DOPRI5",
+    "BOSH3",
+    "TSIT5",
+    "FEHLBERG2",
+    "ADAPTIVE_TABLEAUS",
+    "QUARTIC_FIT",
+    "CUBIC_FIT",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class ButcherTableau:
+    """An explicit embedded Runge–Kutta tableau.
+
+    Attributes:
+      name: solver name used by the ``odeint`` dispatch dict.
+      c: (S,) stage times as fractions of the step.
+      a: (S, S) strictly lower-triangular stage weights.
+      b: (S,) solution weights (order ``order``).
+      b_err: (S,) error-estimate weights ``b - b_hat`` (embedded lower order).
+      c_mid: optional (S,) weights giving a high-order midpoint estimate
+        ``y_mid = y0 + dt * sum(c_mid[i] * k[i])`` used for quartic dense
+        output.  ``None`` → cubic Hermite dense output.
+      order: classical order of the ``b`` weights; the step controller uses
+        exponent ``-1/order``.
+      fsal: first-same-as-last — stage S's evaluation equals f(t1, y1) and is
+        reused as the next step's first stage.
+    """
+
+    name: str
+    c: np.ndarray
+    a: np.ndarray
+    b: np.ndarray
+    b_err: np.ndarray
+    order: int
+    fsal: bool
+    c_mid: np.ndarray | None = None
+
+    @property
+    def stages(self) -> int:
+        return len(self.b)
+
+    def __post_init__(self):
+        c, a, b, e = self.c, self.a, self.b, self.b_err
+        s = len(b)
+        assert a.shape == (s, s) and c.shape == (s,) and e.shape == (s,)
+        # Explicit method: strictly lower triangular a.
+        assert np.allclose(np.triu(a), 0.0), f"{self.name}: a not explicit"
+        # Row-sum consistency: sum_j a[i, j] == c[i].
+        assert np.allclose(a.sum(axis=1), c, atol=1e-12), f"{self.name}: row sums != c"
+        # Order-1/2/3 quadrature conditions on b (all methods here are >= 2).
+        assert abs(b.sum() - 1.0) < 1e-12, f"{self.name}: sum(b) != 1"
+        assert abs((b * c).sum() - 0.5) < 1e-12, f"{self.name}: sum(b*c) != 1/2"
+        if self.order >= 3:
+            assert abs((b * c * c).sum() - 1.0 / 3.0) < 1e-12, f"{self.name}: order-3"
+        # The embedded method b_hat = b - b_err must itself be order >= 1.
+        bh = b - e
+        assert abs(bh.sum() - 1.0) < 1e-12, f"{self.name}: sum(b_hat) != 1"
+        if self.c_mid is not None:
+            # For y' = 1 the midpoint estimate must land exactly at t0 + dt/2.
+            assert abs(self.c_mid.sum() - 0.5) < 1e-12, f"{self.name}: sum(c_mid) != 1/2"
+
+
+def _f(rows):
+    return np.array([[float(Fr(x)) for x in r] for r in rows], dtype=np.float64)
+
+
+def _v(row):
+    return np.array([float(Fr(x)) for x in row], dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Dormand–Prince 5(4) ("dopri5") — the reference's default solver
+# (reference: torchdiffeq/_impl/dopri5.py `_DORMAND_PRINCE_SHAMPINE_TABLEAU`,
+#  UNVERIFIED).  FSAL, 7 stages, 6 effective evals/step.
+# ---------------------------------------------------------------------------
+_DOPRI5_C = _v(["0", "1/5", "3/10", "4/5", "8/9", "1", "1"])
+_DOPRI5_A = np.zeros((7, 7))
+_DOPRI5_A[1, :1] = _v(["1/5"])
+_DOPRI5_A[2, :2] = _v(["3/40", "9/40"])
+_DOPRI5_A[3, :3] = _v(["44/45", "-56/15", "32/9"])
+_DOPRI5_A[4, :4] = _v(["19372/6561", "-25360/2187", "64448/6561", "-212/729"])
+_DOPRI5_A[5, :5] = _v(["9017/3168", "-355/33", "46732/5247", "49/176", "-5103/18656"])
+_DOPRI5_A[6, :6] = _v(["35/384", "0", "500/1113", "125/192", "-2187/6784", "11/84"])
+_DOPRI5_B = _v(["35/384", "0", "500/1113", "125/192", "-2187/6784", "11/84", "0"])
+_DOPRI5_BHAT = _v(
+    ["5179/57600", "0", "7571/16695", "393/640", "-92097/339200", "187/2100", "1/40"]
+)
+# Shampine's 5th-order-accurate midpoint weights for quartic dense output.
+_DOPRI5_C_MID = _v(
+    [
+        "6025192743/60171106304",
+        "0",
+        "51252292925/130801643196",
+        "-2691868925/90256659456",
+        "187940372067/3189068634112",
+        "-1776094331/39487288512",
+        "11237099/470086768",
+    ]
+)
+
+DOPRI5 = ButcherTableau(
+    name="dopri5",
+    c=_DOPRI5_C,
+    a=_DOPRI5_A,
+    b=_DOPRI5_B,
+    b_err=_DOPRI5_B - _DOPRI5_BHAT,
+    order=5,
+    fsal=True,
+    c_mid=_DOPRI5_C_MID,
+)
+
+# ---------------------------------------------------------------------------
+# Bogacki–Shampine 3(2) ("bosh3") — cheap adaptive method, 4 stages FSAL.
+# ---------------------------------------------------------------------------
+_BOSH3_C = _v(["0", "1/2", "3/4", "1"])
+_BOSH3_A = np.zeros((4, 4))
+_BOSH3_A[1, :1] = _v(["1/2"])
+_BOSH3_A[2, :2] = _v(["0", "3/4"])
+_BOSH3_A[3, :3] = _v(["2/9", "1/3", "4/9"])
+_BOSH3_B = _v(["2/9", "1/3", "4/9", "0"])
+_BOSH3_BHAT = _v(["7/24", "1/4", "1/3", "1/8"])
+
+BOSH3 = ButcherTableau(
+    name="bosh3",
+    c=_BOSH3_C,
+    a=_BOSH3_A,
+    b=_BOSH3_B,
+    b_err=_BOSH3_B - _BOSH3_BHAT,
+    order=3,
+    fsal=True,
+)
+
+# ---------------------------------------------------------------------------
+# Fehlberg 2(1) ("fehlberg2") — very cheap adaptive method, 3 stages FSAL.
+# ---------------------------------------------------------------------------
+_FEHL2_C = _v(["0", "1/2", "1"])
+_FEHL2_A = np.zeros((3, 3))
+_FEHL2_A[1, :1] = _v(["1/2"])
+_FEHL2_A[2, :2] = _v(["1/256", "255/256"])
+_FEHL2_B = _v(["1/512", "255/256", "1/512"])
+_FEHL2_BHAT = _v(["1/256", "255/256", "0"])
+
+FEHLBERG2 = ButcherTableau(
+    name="fehlberg2",
+    c=_FEHL2_C,
+    a=_FEHL2_A,
+    b=_FEHL2_B,
+    b_err=_FEHL2_B - _FEHL2_BHAT,
+    order=2,
+    fsal=True,
+)
+
+# ---------------------------------------------------------------------------
+# Tsitouras 5(4) ("tsit5") — present in 2019-era torchdiffeq
+# (reference: torchdiffeq/_impl/tsit5.py, UNVERIFIED).  Coefficients from
+# Tsitouras, "Runge–Kutta pairs of order 5(4) satisfying only the first
+# column simplifying assumption" (2011), standard published decimals.
+# ---------------------------------------------------------------------------
+_TSIT5_C = np.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+_TSIT5_A = np.zeros((7, 7))
+_TSIT5_A[1, 0] = 0.161
+_TSIT5_A[2, 1] = 0.3354806554923570
+_TSIT5_A[3, 1] = -6.359448489975075
+_TSIT5_A[4, 1] = -11.74888356406283
+_TSIT5_A[5, 1] = -12.92096931784711
+_TSIT5_A[3, 2] = 4.362295432869581
+_TSIT5_A[4, 2] = 7.495539342889836
+_TSIT5_A[5, 2] = 8.159367898576159
+_TSIT5_A[4, 3] = -0.09249506636175525
+_TSIT5_A[5, 3] = -0.07158497328140100
+_TSIT5_A[5, 4] = -0.02826905039406838
+_TSIT5_B = np.array(
+    [
+        0.09646076681806523,
+        0.01,
+        0.4798896504144996,
+        1.379008574103742,
+        -3.290069515436081,
+        2.324710524099774,
+        0.0,
+    ]
+)
+# Fill first column / row 6 so row sums match c exactly (first-column
+# simplifying assumption) and the last stage equals the solution (FSAL).
+for _i in range(2, 6):
+    _TSIT5_A[_i, 0] = _TSIT5_C[_i] - _TSIT5_A[_i, 1:_i].sum()
+_TSIT5_A[6, :] = _TSIT5_B
+# Embedded 4th-order weights: rather than trusting remembered decimals, solve
+# the eight order-4 Butcher conditions for b_hat directly (the system is
+# underdetermined — b itself is one solution — so we take the least-squares
+# particular solution and, if it coincides with b, shift along the null space
+# to obtain a genuinely distinct 4th-order embedding).
+def _order4_embedding(c: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ac = a @ c
+    rows = np.stack(
+        [
+            np.ones_like(c),  # sum b               = 1
+            c,  #                sum b c             = 1/2
+            c * c,  #            sum b c^2           = 1/3
+            ac,  #               sum b (a c)         = 1/6
+            c**3,  #             sum b c^3           = 1/4
+            c * ac,  #           sum b c (a c)       = 1/8
+            a @ (c * c),  #      sum b (a c^2)       = 1/12
+            a @ ac,  #           sum b (a (a c))     = 1/24
+        ]
+    )
+    rhs = np.array([1, 1 / 2, 1 / 3, 1 / 6, 1 / 4, 1 / 8, 1 / 12, 1 / 24])
+    bh, residual, rank, _ = np.linalg.lstsq(rows, rhs, rcond=None)
+    assert np.allclose(rows @ bh, rhs, atol=1e-10), "order-4 system inconsistent"
+    if np.linalg.norm(bh - b) < 1e-8:  # pragma: no cover - depends on geometry
+        _, _, vt = np.linalg.svd(rows)
+        null = vt[rank:].T
+        bh = bh + null @ null.T @ (np.ones_like(b) * 0.1)
+    return bh
+
+
+_TSIT5_BHAT = _order4_embedding(_TSIT5_C, _TSIT5_A, _TSIT5_B)
+_TSIT5_BERR = _TSIT5_B - _TSIT5_BHAT
+assert np.linalg.norm(_TSIT5_BERR) > 1e-6, "tsit5 embedding degenerate"
+
+TSIT5 = ButcherTableau(
+    name="tsit5",
+    c=_TSIT5_C,
+    a=_TSIT5_A,
+    b=_TSIT5_B,
+    b_err=_TSIT5_BERR,
+    order=5,
+    fsal=True,
+)
+
+ADAPTIVE_TABLEAUS: dict[str, ButcherTableau] = {
+    t.name: t for t in (DOPRI5, BOSH3, FEHLBERG2, TSIT5)
+}
+
+
+# ---------------------------------------------------------------------------
+# Dense-output collocation matrices (reference: torchdiffeq/_impl/interp.py
+# `_interp_fit` / `_interp_evaluate`, UNVERIFIED).
+#
+# We fit a polynomial p(x) on x = (t - t0)/dt ∈ [0, 1] in the monomial basis
+# by solving a constant linear system:
+#   quartic:  p(0)=y0, p(1)=y1, p(1/2)=y_mid, p'(0)=dt·f0, p'(1)=dt·f1
+#   cubic:    p(0)=y0, p(1)=y1,               p'(0)=dt·f0, p'(1)=dt·f1
+# The inverse matrices are computed once here with numpy; at trace time the
+# fit is a single (5, 5) @ (5, B, N) tensor contraction that XLA fuses.
+# ---------------------------------------------------------------------------
+def _fit_matrix(conditions: list[list[float]]) -> np.ndarray:
+    m = np.array(conditions, dtype=np.float64)
+    return np.linalg.inv(m)
+
+
+# Rows: data order [y0, y1, y_mid, dt*f0, dt*f1]; columns: monomial coeffs.
+QUARTIC_FIT = _fit_matrix(
+    [
+        [1, 0, 0, 0, 0],  # p(0)   = y0
+        [1, 1, 1, 1, 1],  # p(1)   = y1
+        [1, 0.5, 0.25, 0.125, 0.0625],  # p(1/2) = y_mid
+        [0, 1, 0, 0, 0],  # p'(0)  = dt*f0
+        [0, 1, 2, 3, 4],  # p'(1)  = dt*f1
+    ]
+)
+
+# Rows: data order [y0, y1, dt*f0, dt*f1].
+CUBIC_FIT = _fit_matrix(
+    [
+        [1, 0, 0, 0],
+        [1, 1, 1, 1],
+        [0, 1, 0, 0],
+        [0, 1, 2, 3],
+    ]
+)

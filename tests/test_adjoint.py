@@ -1,0 +1,112 @@
+"""Adjoint gradient tests (SURVEY.md §4, test plan item 2): the augmented
+reverse-time adjoint must match direct backprop through the differentiable
+scan-mode solver to tight relative error — the analogue of the reference's
+adjoint-vs-direct gradient equality tests (torchdiffeq/tests/gradient_tests.py,
+UNVERIFIED)."""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_ode_features_tpu.solver import odeint, odeint_adjoint
+
+
+def _dynamics(params, t, y):
+    """A small dense net with genuine t-dependence: y' = tanh(y W + b) * c(t)."""
+    h = jnp.tanh(y @ params["w"] + params["b"])
+    return h * jnp.cos(params["freq"] * jnp.asarray(t))
+
+
+def _make_params(key, dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": 0.5 * jax.random.normal(k1, (dim, dim)),
+        "b": 0.1 * jax.random.normal(k2, (dim,)),
+        "freq": jnp.asarray(1.3),
+    }
+
+
+TOL = dict(rtol=1e-9, atol=1e-11)
+
+
+def _loss_adjoint(params, y0, ts):
+    ys, _ = odeint_adjoint(_dynamics, params, y0, ts, **TOL)
+    # Use the full trajectory so interior observation times get cotangents.
+    return jnp.sum(ys**2) + jnp.sum(jnp.sin(ys[-1]))
+
+
+def _loss_direct(params, y0, ts):
+    def f(t, y):
+        return _dynamics(params, t, y)
+
+    ys, _ = odeint(f, y0, ts, unroll="scan", max_steps=256, **TOL)
+    return jnp.sum(ys**2) + jnp.sum(jnp.sin(ys[-1]))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    dim = 3
+    params = _make_params(key, dim)
+    y0 = jax.random.normal(jax.random.PRNGKey(1), (4, dim))
+    ts = jnp.asarray([0.0, 0.4, 1.0])
+    return params, y0, ts
+
+
+def test_adjoint_matches_direct_params_and_y0(setup):
+    params, y0, ts = setup
+    g_adj = jax.grad(_loss_adjoint, argnums=(0, 1))(params, y0, ts)
+    g_dir = jax.grad(_loss_direct, argnums=(0, 1))(params, y0, ts)
+    flat_adj = jax.flatten_util.ravel_pytree(g_adj)[0]
+    flat_dir = jax.flatten_util.ravel_pytree(g_dir)[0]
+    np.testing.assert_allclose(
+        np.asarray(flat_adj), np.asarray(flat_dir), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_adjoint_time_gradients(setup):
+    params, y0, ts = setup
+    g_adj = jax.grad(_loss_adjoint, argnums=2)(params, y0, ts)
+    g_dir = jax.grad(_loss_direct, argnums=2)(params, y0, ts)
+    np.testing.assert_allclose(
+        np.asarray(g_adj), np.asarray(g_dir), rtol=1e-4, atol=1e-7
+    )
+
+
+def test_adjoint_final_state_only(setup):
+    """Typical training loss: only ys[-1] used."""
+    params, y0, ts = setup
+
+    def loss_a(p):
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts, **TOL)
+        return jnp.sum(ys[-1] ** 2)
+
+    def loss_d(p):
+        ys, _ = odeint(
+            lambda t, y: _dynamics(p, t, y), y0, ts, unroll="scan",
+            max_steps=256, **TOL,
+        )
+        return jnp.sum(ys[-1] ** 2)
+
+    g_a = jax.flatten_util.ravel_pytree(jax.grad(loss_a)(params))[0]
+    g_d = jax.flatten_util.ravel_pytree(jax.grad(loss_d)(params))[0]
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_d), rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_adjoint_value_matches_plain_odeint(setup):
+    params, y0, ts = setup
+    ys_a, stats_a = odeint_adjoint(_dynamics, params, y0, ts, **TOL)
+    ys_p, stats_p = odeint(
+        lambda t, y: _dynamics(params, t, y), y0, ts, **TOL
+    )
+    np.testing.assert_allclose(np.asarray(ys_a), np.asarray(ys_p), rtol=1e-12)
+    assert int(stats_a.nfe[0]) == int(stats_p.nfe[0])
+
+
+def test_adjoint_jits(setup):
+    params, y0, ts = setup
+    g = jax.jit(jax.grad(_loss_adjoint))(params, y0, ts)
+    assert np.all(np.isfinite(np.asarray(jax.flatten_util.ravel_pytree(g)[0])))

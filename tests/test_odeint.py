@@ -1,0 +1,127 @@
+"""Solver accuracy and API tests (mirrors the reference's odeint_tests /
+api_tests strategy — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_ode_features_tpu.solver import SOLVERS, odeint
+
+from problems import ALL_PROBLEMS, EXPONENTIAL, SINE
+
+ADAPTIVE = ["dopri5", "bosh3", "fehlberg2", "tsit5"]
+FIXED = ["euler", "midpoint", "heun2", "rk4", "fixed_adams"]
+
+
+@pytest.mark.parametrize("problem", ALL_PROBLEMS, ids=lambda p: p.name)
+@pytest.mark.parametrize("method", ADAPTIVE)
+def test_adaptive_accuracy(problem, method):
+    rtol, atol = 1e-7, 1e-9
+    ts = np.linspace(0.0, 2.0, 7)
+    y0 = jnp.asarray(problem.y0)
+    ys, stats = odeint(
+        problem.func, y0, jnp.asarray(ts), rtol=rtol, atol=atol, method=method
+    )
+    exact = problem.exact(ts, problem.y0)
+    err = np.max(np.abs(np.asarray(ys) - exact))
+    scale = np.max(np.abs(exact)) + 1.0
+    assert bool(np.all(stats.success))
+    # Dense-output interpolation is one order below the solver; allow slack.
+    assert err < 5e3 * rtol * scale * problem.hardness, f"{method}: err={err:.3e}"
+    assert np.allclose(np.asarray(ys)[0], problem.y0)
+
+
+@pytest.mark.parametrize("problem", ALL_PROBLEMS, ids=lambda p: p.name)
+@pytest.mark.parametrize("method", FIXED)
+def test_fixed_grid_accuracy(problem, method):
+    ts = np.linspace(0.0, 2.0, 5)
+    y0 = jnp.asarray(problem.y0)
+    ys, stats = odeint(
+        problem.func, y0, jnp.asarray(ts), method=method, steps_per_interval=200
+    )
+    exact = problem.exact(ts, problem.y0)
+    err = np.max(np.abs(np.asarray(ys) - exact))
+    scale = np.max(np.abs(exact)) + 1.0
+    tol = {"euler": 2e-2, "midpoint": 5e-4, "heun2": 5e-4, "rk4": 1e-8,
+           "fixed_adams": 1e-6}[method]
+    assert err < tol * scale * problem.hardness, f"{method}: err={err:.3e}"
+
+
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "rk4"])
+def test_reverse_time(method):
+    """Integrate forward then backward; must return to the initial state."""
+    ts_fwd = jnp.asarray(np.linspace(0.0, 1.5, 4))
+    y0 = jnp.asarray(SINE.y0)
+    kw = dict(rtol=1e-8, atol=1e-10) if method != "rk4" else dict(
+        steps_per_interval=50
+    )
+    ys, _ = odeint(SINE.func, y0, ts_fwd, method=method, **kw)
+    y_end = ys[-1]
+    ys_back, _ = odeint(SINE.func, y_end, jnp.flip(ts_fwd), method=method, **kw)
+    np.testing.assert_allclose(np.asarray(ys_back[-1]), np.asarray(y0), atol=1e-5)
+
+
+def test_dense_output_matches_individual_solves():
+    """N requested timestamps from one solve ≡ N separate solves (the
+    continuous-feature-extraction property, SURVEY.md §3.3)."""
+    rtol, atol = 1e-9, 1e-11
+    ts_many = jnp.asarray(np.linspace(0.0, 2.0, 17))
+    y0 = jnp.asarray(EXPONENTIAL.y0)
+    ys_many, _ = odeint(EXPONENTIAL.func, y0, ts_many, rtol=rtol, atol=atol)
+    for i in [3, 8, 13, 16]:
+        ys_two, _ = odeint(
+            EXPONENTIAL.func, y0, jnp.asarray([0.0, float(ts_many[i])]),
+            rtol=rtol, atol=atol,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ys_many[i]), np.asarray(ys_two[-1]), rtol=1e-6, atol=1e-9
+        )
+
+
+def test_pytree_state():
+    """Tuple/dict states work (reference api_tests: tuple-of-tensors)."""
+    def func(t, state):
+        return {"a": state["a"] * -1.0, "b": (state["b"][0] * -2.0,)}
+
+    y0 = {"a": jnp.ones((3, 2)), "b": (jnp.full((3, 1), 2.0),)}
+    ts = jnp.asarray([0.0, 1.0])
+    ys, stats = odeint(func, y0, ts, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(ys["a"][-1]), np.exp(-1.0) * np.ones((3, 2)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys["b"][0][-1]), 2.0 * np.exp(-2.0) * np.ones((3, 1)), rtol=1e-5
+    )
+
+
+def test_single_time_point():
+    y0 = jnp.ones((2, 3))
+    ys, stats = odeint(lambda t, y: -y, y0, jnp.asarray([0.0]))
+    assert ys.shape == (1, 2, 3)
+    np.testing.assert_allclose(np.asarray(ys[0]), 1.0)
+
+
+def test_solvers_registry_complete():
+    """The reference dispatches {dopri5, adams, fixed_adams, tsit5, euler,
+    midpoint, rk4}; our registry must cover the adaptive + fixed families."""
+    for m in ["dopri5", "tsit5", "euler", "midpoint", "rk4", "fixed_adams"]:
+        assert m in SOLVERS
+
+
+def test_jit_and_vmap_compose():
+    f = jax.jit(
+        lambda y0: odeint(EXPONENTIAL.func, y0, jnp.asarray([0.0, 1.0]),
+                          rtol=1e-6, atol=1e-8)[0]
+    )
+    y0 = jnp.asarray(EXPONENTIAL.y0)
+    out = f(y0)
+    assert out.shape == (2,) + y0.shape
+
+
+def test_max_steps_flags_failure():
+    ys, stats = odeint(
+        SINE.func, jnp.asarray(SINE.y0), jnp.asarray([0.0, 50.0]),
+        rtol=1e-10, atol=1e-12, max_steps=5,
+    )
+    assert not bool(np.all(stats.success))
