@@ -1,0 +1,99 @@
+"""Shared model components: downsampling stem, classification head, config.
+
+Capability parity with the reference's network builders (reference:
+model.py:~100-140, UNVERIFIED — empty mount, SURVEY.md §2.1): the
+Chen-et-al. MNIST/CIFAR architecture — conv stem downsampling to a
+``hidden``-channel feature map, a feature core (ODE block or residual
+blocks), and a GroupNorm→ReLU→GAP→Linear head.
+
+All functions are pure; parameters are nested dicts with stable names
+(documented in utils/checkpoint.py's torch name map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import (
+    conv2d,
+    global_avg_pool,
+    group_norm,
+    init_conv,
+    init_group_norm,
+    init_linear,
+    linear,
+)
+
+__all__ = ["ModelConfig", "init_stem", "stem_apply", "init_head", "head_apply"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + solver configuration (the persisted ``params.json``
+    surface that extract.py uses to rebuild the net — reference train.py
+    argparse, UNVERIFIED)."""
+
+    in_channels: int = 1  # 1 = MNIST, 3 = CIFAR-10
+    num_classes: int = 10
+    hidden: int = 64
+    groups: int = 32
+    downsampling: str = "conv"  # 'conv' (Chen et al. default) | 'res'
+    # solver settings (ODENet only)
+    tol: float = 1e-3  # reference --tol: used for both rtol and atol
+    method: str = "dopri5"
+    error_control: str = "per_sample"
+    adjoint: bool = False
+    max_steps: int = 4096
+    # number of residual blocks (ResNet only)
+    num_blocks: int = 6
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' dynamics compute
+
+    @property
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def init_stem(key, cfg: ModelConfig):
+    """conv(in→h, 3×3, VALID) then 2 × [GN, ReLU, conv(h→h, 4×4, s2, p1)]:
+    28×28 → 6×6 (MNIST), 32×32 → 7×7 (CIFAR)."""
+    h = cfg.hidden
+    ks = jax.random.split(key, 3)
+    return {
+        "conv0": init_conv(ks[0], 3, 3, cfg.in_channels, h),
+        "norm1": init_group_norm(h),
+        "conv1": init_conv(ks[1], 4, 4, h, h),
+        "norm2": init_group_norm(h),
+        "conv2": init_conv(ks[2], 4, 4, h, h),
+    }
+
+
+def stem_apply(params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    g = cfg.groups
+    x = conv2d(params["conv0"], x, padding="VALID")
+    x = jax.nn.relu(group_norm(params["norm1"], x, groups=g))
+    x = conv2d(params["conv1"], x, stride=2, padding=1)
+    x = jax.nn.relu(group_norm(params["norm2"], x, groups=g))
+    x = conv2d(params["conv2"], x, stride=2, padding=1)
+    return x
+
+
+def init_head(key, cfg: ModelConfig):
+    return {
+        "norm": init_group_norm(cfg.hidden),
+        "fc": init_linear(key, cfg.hidden, cfg.num_classes),
+    }
+
+
+def head_apply(params, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """GN → ReLU → GAP → Linear; also the feature-pooling path (GAP of the
+    pre-head state is the extracted per-t feature, SURVEY.md §3.3)."""
+    h = jax.nn.relu(group_norm(params["norm"], h, groups=cfg.groups))
+    return linear(params["fc"], global_avg_pool(h))
+
+
+def pool_features(h: jnp.ndarray) -> jnp.ndarray:
+    """The extraction pooling: GAP of a (…, H, W, C) state → (…, C)."""
+    return jnp.mean(h, axis=(-3, -2))

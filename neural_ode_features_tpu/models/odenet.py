@@ -1,0 +1,136 @@
+"""ODE-Net: stem → continuous ODE feature block → head.
+
+Capability parity with the reference's ODENet (reference: model.py
+``ConcatConv2d``/``ODEfunc``/``ODEBlock`` :~20-90, UNVERIFIED — empty mount,
+SURVEY.md §2.1), TPU-native design:
+
+  * the dynamics ``f(θ, t, h)`` is a pure function of explicit parameters so
+    the adjoint ``custom_vjp`` can differentiate it;
+  * the whole solve is one on-device loop (see solver/), with per-sample
+    adaptive stepping by default;
+  * the trajectory API returns features at *arbitrary* t ∈ [0, 1] from a
+    single solve via dense output — the repo's signature capability
+    ("continuous feature extraction", BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import (
+    concat_time_channel,
+    conv2d,
+    group_norm,
+    init_conv,
+    init_group_norm,
+)
+from ..solver import SolveStats, odeint, odeint_adjoint
+from .common import ModelConfig, head_apply, init_head, init_stem, stem_apply
+
+__all__ = [
+    "init_odenet",
+    "odenet_logits",
+    "odenet_trajectory",
+    "odefunc_apply",
+]
+
+
+def init_odefunc(key, cfg: ModelConfig):
+    """GN → ReLU → ConcatConv(h+1→h, 3×3) → GN → ReLU → ConcatConv → GN
+    (reference model.py ``ODEfunc``:~40, UNVERIFIED)."""
+    h = cfg.hidden
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": init_group_norm(h),
+        "conv1": init_conv(k1, 3, 3, h + 1, h),
+        "norm2": init_group_norm(h),
+        "conv2": init_conv(k2, 3, 3, h + 1, h),
+        "norm3": init_group_norm(h),
+    }
+
+
+def odefunc_apply(params, t, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """The dynamics f(t, h).  ``t`` may be scalar (batch-global control) or
+    (B,) (per-sample integration times)."""
+    g = cfg.groups
+    dtype = cfg.cdtype
+    h = h.astype(dtype)
+    out = jax.nn.relu(group_norm(params["norm1"], h, groups=g))
+    out = conv2d(params["conv1"], concat_time_channel(t, out), padding=1)
+    out = jax.nn.relu(group_norm(params["norm2"], out, groups=g))
+    out = conv2d(params["conv2"], concat_time_channel(t, out), padding=1)
+    out = group_norm(params["norm3"], out, groups=g)
+    return out.astype(jnp.float32)
+
+
+def init_odenet(key, cfg: ModelConfig):
+    k_stem, k_func, k_head = jax.random.split(key, 3)
+    return {
+        "stem": init_stem(k_stem, cfg),
+        "odefunc": init_odefunc(k_func, cfg),
+        "head": init_head(k_head, cfg),
+    }
+
+
+def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool):
+    """Run the ODE block over ``ts``; returns ((T, B, H, W, C), stats)."""
+    if adjoint:
+        def dyn(p, t, y):
+            return odefunc_apply(p, t, y, cfg)
+
+        return odeint_adjoint(
+            dyn,
+            params["odefunc"],
+            h0,
+            ts,
+            rtol=cfg.tol,
+            atol=cfg.tol,
+            method=cfg.method,
+            error_control=cfg.error_control,
+            max_steps=cfg.max_steps,
+        )
+
+    def dyn_closed(t, y):
+        return odefunc_apply(params["odefunc"], t, y, cfg)
+
+    return odeint(
+        dyn_closed,
+        h0,
+        ts,
+        rtol=cfg.tol,
+        atol=cfg.tol,
+        method=cfg.method,
+        error_control=cfg.error_control,
+        max_steps=cfg.max_steps,
+    )
+
+
+def odenet_logits(
+    params, x: jnp.ndarray, cfg: ModelConfig, *, adjoint: bool | None = None
+) -> tuple[jnp.ndarray, SolveStats]:
+    """Classification forward: solve h over [0, 1], head on h(1).
+
+    ``adjoint`` overrides ``cfg.adjoint`` (training wants the adjoint path,
+    inference the plain one).
+    """
+    adjoint = cfg.adjoint if adjoint is None else adjoint
+    h0 = stem_apply(params["stem"], x, cfg)
+    ts = jnp.asarray([0.0, 1.0], h0.dtype)
+    traj, stats = _solve(params, h0, ts, cfg, adjoint=adjoint)
+    logits = head_apply(params["head"], traj[-1], cfg)
+    return logits, stats
+
+
+def odenet_trajectory(
+    params, x: jnp.ndarray, ts, cfg: ModelConfig
+) -> tuple[jnp.ndarray, SolveStats]:
+    """Feature-extraction forward: the full state trajectory h(t) at every
+    requested t from ONE solve (dense output — SURVEY.md §3.3).
+
+    Returns ((T, B, H, W, C) states, stats); pool with
+    :func:`..models.common.pool_features` for (T, B, C) features.
+    """
+    h0 = stem_apply(params["stem"], x, cfg)
+    ts = jnp.asarray(ts, h0.dtype)
+    return _solve(params, h0, ts, cfg, adjoint=False)

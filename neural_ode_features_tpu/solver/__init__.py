@@ -10,7 +10,13 @@ per-sample adaptive stepping.  Public surface:
   * :class:`SolveStats` — functional NFE / step accounting.
 """
 
-from .adjoint import odeint_adjoint
+from .adjoint import odeint_adjoint, set_backward_nfe_tap
 from .odeint import SOLVERS, SolveStats, odeint
 
-__all__ = ["odeint", "odeint_adjoint", "SolveStats", "SOLVERS"]
+__all__ = [
+    "odeint",
+    "odeint_adjoint",
+    "set_backward_nfe_tap",
+    "SolveStats",
+    "SOLVERS",
+]

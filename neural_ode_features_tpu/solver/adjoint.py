@@ -28,12 +28,28 @@ import functools
 from typing import Any, Callable
 
 import jax
+import jax.experimental
 import jax.numpy as jnp
 from jax import lax
 
 from .odeint import odeint
 
-__all__ = ["odeint_adjoint"]
+__all__ = ["odeint_adjoint", "set_backward_nfe_tap"]
+
+# Optional observability hook: the reference logs NFE-backward per batch by
+# reading a mutable counter (train.py:~170, UNVERIFIED).  Functionally the
+# backward NFE is internal to the custom_vjp, so we expose it through an
+# explicit host tap: ``set_backward_nfe_tap(fn)`` makes every adjoint backward
+# pass call ``fn(total_backward_nfe)`` via ``io_callback``.  Leave unset (the
+# default) for zero overhead in benchmark/serving paths.
+_BACKWARD_NFE_TAP = None
+
+
+def set_backward_nfe_tap(fn) -> None:
+    """Register ``fn(nfe: int) -> None`` to observe backward-solve NFE
+    (pass ``None`` to disable)."""
+    global _BACKWARD_NFE_TAP
+    _BACKWARD_NFE_TAP = fn
 
 
 def _tree_vdot(a: Any, b: Any) -> jnp.ndarray:
@@ -128,9 +144,9 @@ def _bwd(func, cfg, residuals, cotangents):
 
         aug0 = {"y": y_i, "a_y": a_y, "a_p": a_p, "a_t": a_t}
         span = jnp.stack([t_hi, t_lo])
-        aug_traj, _ = odeint(aug_dynamics, aug0, span, **solve_kw)
+        aug_traj, aug_stats = odeint(aug_dynamics, aug0, span, **solve_kw)
         aug1 = jax.tree.map(lambda x: x[-1], aug_traj)
-        return (aug1["a_y"], aug1["a_p"], aug1["a_t"]), g_t_i
+        return (aug1["a_y"], aug1["a_p"], aug1["a_t"]), (g_t_i, aug_stats.nfe[0])
 
     # Reverse-ordered per-interval inputs: i = T-1 … 1.
     rev = lambda x: jnp.flip(x, axis=0)
@@ -140,7 +156,14 @@ def _bwd(func, cfg, residuals, cotangents):
         jax.tree.map(lambda g: rev(g[1:]), g_ys),
         jax.tree.map(lambda y: rev(y[1:]), ys),
     )
-    (a_y, a_p, a_t), g_t_rev = lax.scan(interval, (a_y0, a_p0, a_t0), xs)
+    (a_y, a_p, a_t), (g_t_rev, nfe_b) = lax.scan(
+        interval, (a_y0, a_p0, a_t0), xs
+    )
+
+    if _BACKWARD_NFE_TAP is not None:
+        jax.experimental.io_callback(
+            _BACKWARD_NFE_TAP, None, jnp.sum(nfe_b), ordered=False
+        )
 
     a_y = jax.tree.map(lambda a, g: a + g[0], a_y, g_ys)
     grad_ts = jnp.zeros_like(ts).at[1:].set(rev(g_t_rev)).at[0].set(a_t)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 
 from .fixed_grid import FIXED_GRID_METHODS, fixed_grid_odeint
@@ -82,6 +83,15 @@ def odeint(
     ts = jnp.asarray(ts)
     if ts.ndim != 1:
         raise ValueError(f"ts must be 1-D, got shape {ts.shape}")
+    # Validate monotonicity when ts is concrete (a traced ts — e.g. inside the
+    # adjoint's interval scan — skips the check; out-of-span times would
+    # silently stay zero otherwise).
+    if ts.shape[0] > 1 and not isinstance(ts, jax.core.Tracer):
+        import numpy as _np
+
+        diffs = _np.diff(_np.asarray(ts))
+        if not (_np.all(diffs > 0) or _np.all(diffs < 0)):
+            raise ValueError("ts must be strictly monotonic (either direction)")
 
     if error_control == "per_sample":
         flat0, unravel, flatten = ravel_batched(y0)

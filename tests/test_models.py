@@ -1,0 +1,131 @@
+"""Model zoo tests: shapes, parameter counts (~0.22M per Chen et al., TBV),
+trajectory extraction, adjoint trainability (SURVEY.md §4 test plan)."""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_ode_features_tpu.models import (
+    ModelConfig,
+    init_odenet,
+    init_resnet,
+    odenet_logits,
+    odenet_trajectory,
+    pool_features,
+    resnet_block_states,
+    resnet_logits,
+)
+
+CFG_MNIST = ModelConfig(in_channels=1, tol=1e-2)
+CFG_CIFAR = ModelConfig(in_channels=3, tol=1e-2)
+
+
+def _param_count(params):
+    return int(jax.flatten_util.ravel_pytree(params)[0].size)
+
+
+def _x(cfg, b=2):
+    side = 28 if cfg.in_channels == 1 else 32
+    return jnp.asarray(
+        np.random.default_rng(0).normal(size=(b, side, side, cfg.in_channels)),
+        jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def odenet_mnist():
+    return init_odenet(jax.random.PRNGKey(0), CFG_MNIST)
+
+
+def test_odenet_param_count(odenet_mnist):
+    """Chen et al. report ~0.22M params for the MNIST ODE-Net (BASELINE.md,
+    TBV).  Sanity band: 0.15M – 0.30M."""
+    n = _param_count(odenet_mnist)
+    assert 150_000 < n < 300_000, f"param count {n}"
+
+
+def test_odenet_forward_shapes(odenet_mnist):
+    logits, stats = odenet_logits(odenet_mnist, _x(CFG_MNIST), CFG_MNIST)
+    assert logits.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.asarray(stats.nfe).shape == (2,)  # per-sample accounting
+    assert int(np.asarray(stats.nfe).min()) >= 8
+
+
+def test_odenet_cifar_shapes():
+    params = init_odenet(jax.random.PRNGKey(1), CFG_CIFAR)
+    logits, _ = odenet_logits(params, _x(CFG_CIFAR), CFG_CIFAR)
+    assert logits.shape == (2, 10)
+
+
+def test_odenet_trajectory_extraction(odenet_mnist):
+    """N timestamps from ONE solve; features finite, distinct per t, and the
+    t=1 state consistent with the classification forward."""
+    ts = jnp.linspace(0.0, 1.0, 5)
+    traj, stats = odenet_trajectory(odenet_mnist, _x(CFG_MNIST), ts, CFG_MNIST)
+    assert traj.shape[:2] == (5, 2)
+    feats = pool_features(traj)
+    assert feats.shape == (5, 2, 64)
+    assert np.all(np.isfinite(np.asarray(feats)))
+    # states must evolve with t
+    d = np.abs(np.asarray(feats[0]) - np.asarray(feats[-1])).max()
+    assert d > 1e-3
+    # one solve: NFE comparable to a plain [0,1] solve, far below 5 solves
+    logits, stats_cls = odenet_logits(odenet_mnist, _x(CFG_MNIST), CFG_MNIST)
+    assert int(stats.nfe.max()) < 2 * int(stats_cls.nfe.max())
+
+
+def test_odenet_global_control_mode():
+    cfg = ModelConfig(in_channels=1, tol=1e-2, error_control="global")
+    params = init_odenet(jax.random.PRNGKey(0), cfg)
+    logits, stats = odenet_logits(params, _x(cfg), cfg)
+    assert logits.shape == (2, 10)
+    assert np.asarray(stats.nfe).shape == (1,)
+
+
+def test_odenet_adjoint_training_step(odenet_mnist):
+    """One SGD step through the adjoint must reduce loss on a fixed batch."""
+    x = _x(CFG_MNIST, b=4)
+    y = jnp.asarray([0, 1, 2, 3])
+
+    def loss_fn(p):
+        logits, _ = odenet_logits(p, x, CFG_MNIST, adjoint=True)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(logp[jnp.arange(4), y])
+
+    l0, g = jax.value_and_grad(loss_fn)(odenet_mnist)
+    gnorm = jnp.sqrt(
+        sum(jnp.sum(v**2) for v in jax.tree.leaves(g))
+    )
+    assert np.isfinite(float(l0)) and float(gnorm) > 0
+    p1 = jax.tree.map(lambda p, g_: p - 0.05 * g_, odenet_mnist, g)
+    l1 = loss_fn(p1)
+    assert float(l1) < float(l0), (float(l0), float(l1))
+
+
+def test_resnet_forward_and_taps():
+    params = init_resnet(jax.random.PRNGKey(0), CFG_MNIST)
+    logits = resnet_logits(params, _x(CFG_MNIST), CFG_MNIST)
+    assert logits.shape == (2, 10)
+    states = resnet_block_states(params, _x(CFG_MNIST), CFG_MNIST)
+    assert states.shape[0] == CFG_MNIST.num_blocks + 1
+    feats = pool_features(states)
+    assert feats.shape == (7, 2, 64)
+
+
+def test_resnet_param_count_close_to_odenet():
+    """The papers' comparison point: ResNet(6) has ~2.6x the ODE-Net's
+    params (0.58M vs 0.22M per Chen et al. — TBV)."""
+    n_ode = _param_count(init_odenet(jax.random.PRNGKey(0), CFG_MNIST))
+    n_res = _param_count(init_resnet(jax.random.PRNGKey(0), CFG_MNIST))
+    assert n_res > n_ode * 1.8
+
+
+def test_bfloat16_compute_path():
+    cfg = ModelConfig(in_channels=1, tol=1e-2, compute_dtype="bfloat16")
+    params = init_odenet(jax.random.PRNGKey(0), cfg)
+    logits, stats = odenet_logits(params, _x(cfg), cfg)
+    assert logits.dtype == jnp.float32  # solver state stays f32
+    assert np.all(np.isfinite(np.asarray(logits)))
