@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Headline benchmark: CIFAR-10 ODE-Net inference throughput at rtol=1e-3.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": R}
+
+``value`` is images/sec/chip on this machine's accelerator (per-sample
+adaptive dopri5, whole solve on-device).  ``vs_baseline`` is the ratio
+against the CPU torchdiffeq-style reference execution model, measured live
+with the torch oracle (host-loop dopri5, batch-global control) on identical
+weights — the BASELINE.md "oracle-derived" protocol (the real reference
+repo's code is unavailable: empty mount, zero egress; SURVEY.md §0).
+North-star target: ratio ≥ 10 (BASELINE.json).
+
+Flags let the driver/judge vary batch size, dtype and sample counts;
+defaults keep total runtime ≈2-4 min including TPU compilation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 dynamics (default f32 for NFE parity)")
+    p.add_argument("--cpu-batches", type=int, default=2)
+    p.add_argument("--cpu-batch-size", type=int, default=32)
+    p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="run the JAX side on CPU too (debug)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from neural_ode_features_tpu.models import (
+        ModelConfig,
+        init_odenet,
+        odenet_logits,
+    )
+
+    cfg = ModelConfig(
+        in_channels=3,
+        tol=args.tol,
+        error_control="per_sample",
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+    )
+    params = init_odenet(jax.random.PRNGKey(7), cfg)
+
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(size=(args.batch_size, 32, 32, 3)).astype(np.float32)
+    x = jnp.asarray(x_np)
+
+    # The whole timing loop runs inside ONE jitted lax.scan dispatch: on this
+    # machine the remote-TPU tunnel costs ~0.6 s per dispatch, which would
+    # swamp per-call timing for a model this small.  Iterations are chained
+    # through a data dependency (the previous logits perturb the next input)
+    # so nothing can be elided; elapsed time is closed by device_get and the
+    # measured null-dispatch overhead is subtracted.
+    from jax import lax
+
+    def bench_loop(p, xx, n_iters):
+        def body(carry, _):
+            x_i, nfe_acc = carry
+            logits, stats = odenet_logits(p, x_i, cfg)
+            x_next = xx + jnp.mean(logits) * 1e-6
+            return (x_next, nfe_acc + jnp.mean(stats.nfe.astype(jnp.float32))), None
+
+        (x_f, nfe_sum), _ = lax.scan(body, (xx, jnp.zeros(())), None,
+                                     length=n_iters)
+        return jnp.mean(x_f), nfe_sum / n_iters
+
+    run = jax.jit(bench_loop, static_argnums=2)
+    null = jax.jit(lambda s: s + 1.0)
+
+    # Warmup / compile both dispatch shapes.
+    float(jax.device_get(run(params, x, args.iters)[0]))
+    float(jax.device_get(null(jnp.zeros(()))))
+
+    t0 = time.perf_counter()
+    float(jax.device_get(null(jnp.zeros(()))))
+    overhead = time.perf_counter() - t0
+
+    best_dt = float("inf")
+    mean_nfe = 0.0
+    for _ in range(max(args.warmup, 2)):
+        t0 = time.perf_counter()
+        out, nfe_mean = run(params, x, args.iters)
+        float(jax.device_get(out))
+        dt = time.perf_counter() - t0
+        best_dt = min(best_dt, max(dt - overhead, 1e-9))
+        mean_nfe = float(jax.device_get(nfe_mean))
+    ips = args.batch_size * args.iters / best_dt
+
+    vs_baseline = None
+    if not args.skip_baseline:
+        try:
+            import torch
+
+            from neural_ode_features_tpu.oracle.torch_ref import (
+                build_torch_odenet,
+                load_jax_params_into_torch,
+            )
+
+            torch.set_num_threads(max(torch.get_num_threads(), 1))
+            tm = build_torch_odenet(in_channels=3)
+            load_jax_params_into_torch(tm, params)
+            tm.eval()
+            xc = torch.from_numpy(
+                x_np[: args.cpu_batch_size].transpose(0, 3, 1, 2)
+            )
+            with torch.no_grad():
+                tm(xc, rtol=args.tol, atol=args.tol)  # warmup
+                t0 = time.perf_counter()
+                for _ in range(args.cpu_batches):
+                    _, nfe_t = tm(xc, rtol=args.tol, atol=args.tol)
+                dt_cpu = time.perf_counter() - t0
+            cpu_ips = args.cpu_batch_size * args.cpu_batches / dt_cpu
+            vs_baseline = ips / cpu_ips
+        except Exception as e:  # torch missing or oracle failure
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "images_per_sec_per_chip_cifar10_odenet_inference_rtol1e-3",
+        "value": round(ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "mean_nfe": round(mean_nfe, 1),
+        "batch_size": args.batch_size,
+        "backend": jax.default_backend(),
+        "compute_dtype": cfg.compute_dtype,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Extract continuous features at a sweep of integration times t ∈ [0, 1].
+
+CLI parity with the reference's extraction pipeline (reference: extract.py
+:~1-120 — UNVERIFIED, empty mount, SURVEY.md §3.3): load a trained
+checkpoint, run every image through the ODE block with
+``t = linspace(0, 1, N)`` (ONE solve per batch — dense output yields all N
+states), global-average-pool each state into a feature vector, and write
+per-t feature matrices to an HDF5 file in the run directory.
+
+ResNet checkpoints tap the discrete block boundaries instead (block k ↦
+t = k/num_blocks).
+
+Output layout (``features.h5`` unless --output):
+    /t            (T,)  float32 — integration times
+    /features     (T, N, C) float32 — per-t feature matrices
+    /labels       (N,) int32
+    /nfe          (N,) int32 — per-sample NFE of the extraction solve
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run", required=True,
+                   help="run directory (from train.py) or checkpoint path")
+    p.add_argument("--ckpt", default="ckpt_best.msgpack",
+                   help="checkpoint file name inside --run")
+    p.add_argument("--timestamps", type=int, default=11,
+                   help="number of t values in linspace(0, 1, N)")
+    p.add_argument("--split", default="test", choices=["train", "test"])
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--output", default=None, help="output .h5 path")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import h5py
+    import jax.numpy as jnp
+
+    from neural_ode_features_tpu.data import Batches, load_dataset
+    from neural_ode_features_tpu.models import (
+        init_odenet,
+        init_resnet,
+        odenet_trajectory,
+        pool_features,
+        resnet_block_states,
+    )
+    from neural_ode_features_tpu.utils import load_checkpoint
+
+    run = Path(args.run)
+    ckpt_path = run / args.ckpt if run.is_dir() else run
+    run_dir = ckpt_path.parent
+
+    # Model family from checkpoint metadata.
+    import json
+
+    meta = json.loads(ckpt_path.with_suffix(
+        ckpt_path.suffix + ".json").read_text())
+    model = meta.get("extra", {}).get("model", "odenet")
+    init_fn = init_odenet if model == "odenet" else init_resnet
+    params, cfg, extra = load_checkpoint(ckpt_path, init_fn)
+    dataset = extra.get("train", {}).get("dataset") or (
+        "mnist" if cfg.in_channels == 1 else "cifar10"
+    )
+    print(f"checkpoint: {ckpt_path} (model={model}, dataset={dataset}, "
+          f"tol={cfg.tol})")
+
+    images, labels = load_dataset(dataset, args.split, args.data_dir,
+                                  limit=args.limit)
+    batches = Batches(images, labels, args.batch_size, shuffle=False,
+                      drop_remainder=False)
+
+    from neural_ode_features_tpu.ops.preprocess import normalize
+
+    if model == "odenet":
+        ts = jnp.linspace(0.0, 1.0, args.timestamps)
+
+        @jax.jit
+        def extract_batch(p, img_u8):
+            x = normalize(img_u8, dataset)
+            traj, stats = odenet_trajectory(p, x, ts, cfg)
+            return pool_features(traj), stats.nfe
+    else:
+        ts = jnp.linspace(0.0, 1.0, cfg.num_blocks + 1)
+
+        @jax.jit
+        def extract_batch(p, img_u8):
+            x = normalize(img_u8, dataset)
+            states = resnet_block_states(p, x, cfg)
+            feats = pool_features(states)
+            return feats, jnp.zeros((x.shape[0],), jnp.int32)
+
+    feats_parts, nfe_parts, label_parts = [], [], []
+    for img, lab, valid in batches.padded_batches():
+        f, nfe = jax.device_get(extract_batch(params, img))
+        f, nfe, lab = f[:, valid], nfe[valid], lab[valid]
+        feats_parts.append(np.asarray(f, np.float32))
+        nfe_parts.append(np.asarray(nfe, np.int32))
+        label_parts.append(lab)
+
+    features = np.concatenate(feats_parts, axis=1)  # (T, N, C)
+    nfe = np.concatenate(nfe_parts)
+    labels_out = np.concatenate(label_parts).astype(np.int32)
+
+    out_path = Path(args.output) if args.output else (
+        run_dir / f"features_{args.split}.h5"
+    )
+    with h5py.File(out_path, "w") as f:
+        f.create_dataset("t", data=np.asarray(ts, np.float32))
+        f.create_dataset("features", data=features)
+        f.create_dataset("labels", data=labels_out)
+        f.create_dataset("nfe", data=nfe)
+        f.attrs["dataset"] = dataset
+        f.attrs["model"] = model
+        f.attrs["tol"] = cfg.tol
+    print(f"wrote {out_path}: features {features.shape}, "
+          f"mean NFE {nfe.mean():.1f}")
+    return out_path
+
+
+if __name__ == "__main__":
+    main()

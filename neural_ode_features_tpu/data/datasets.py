@@ -1,0 +1,195 @@
+"""Dataset loading: raw MNIST/CIFAR-10 files + deterministic synthetic twins.
+
+Capability parity with the reference's torchvision loaders (reference:
+utils.py ``get_loaders`` — UNVERIFIED, empty mount, SURVEY.md §2.1), without
+torchvision: we read the raw public formats directly —
+
+  * MNIST: IDX files (``train-images-idx3-ubyte`` etc., optionally ``.gz``)
+  * CIFAR-10: the python-pickle batches OR the binary-version batches
+
+from ``data_dir`` (default ``./data``, override ``$NODE_TPU_DATA``).
+
+This machine has zero network egress and no dataset files baked in, so the
+framework also ships *synthetic twins* (``synthetic-mnist``,
+``synthetic-cifar10``): deterministic, class-structured image datasets with
+the exact shapes/dtypes/cardinalities of the real ones.  They are linearly
+non-trivial but learnable to high accuracy, so the full train → extract →
+evaluate pipeline and all benchmarks run end-to-end anywhere; when the real
+files are present the same CLIs run on them unchanged.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["load_dataset", "DATASETS", "dataset_spec"]
+
+DATASETS = ("mnist", "cifar10", "synthetic-mnist", "synthetic-cifar10")
+
+_SPECS = {
+    "mnist": dict(shape=(28, 28, 1), n_train=60_000, n_test=10_000, classes=10),
+    "cifar10": dict(shape=(32, 32, 3), n_train=50_000, n_test=10_000, classes=10),
+}
+
+
+def dataset_spec(name: str) -> dict:
+    base = name.replace("synthetic-", "")
+    return dict(_SPECS[base])
+
+
+def _data_dir(data_dir: str | None) -> Path:
+    return Path(data_dir or os.environ.get("NODE_TPU_DATA", "./data"))
+
+
+# ---------------------------------------------------------------------------
+# MNIST — IDX format
+# ---------------------------------------------------------------------------
+def _open_maybe_gz(path: Path):
+    gz = path.with_name(path.name + ".gz")
+    if path.exists():
+        return open(path, "rb")
+    if gz.exists():
+        return gzip.open(gz, "rb")
+    raise FileNotFoundError(f"{path}(.gz) not found")
+
+
+def _read_idx(f) -> np.ndarray:
+    magic, = struct.unpack(">i", f.read(4))
+    ndim = magic & 0xFF
+    dims = struct.unpack(f">{ndim}i", f.read(4 * ndim))
+    return np.frombuffer(f.read(), dtype=np.uint8).reshape(dims)
+
+
+def _load_mnist(root: Path, split: str):
+    prefix = "train" if split == "train" else "t10k"
+    for sub in (root / "mnist", root / "MNIST" / "raw", root):
+        try:
+            with _open_maybe_gz(sub / f"{prefix}-images-idx3-ubyte") as f:
+                images = _read_idx(f)
+            with _open_maybe_gz(sub / f"{prefix}-labels-idx1-ubyte") as f:
+                labels = _read_idx(f)
+            return images[..., None], labels
+        except FileNotFoundError:
+            continue
+    raise FileNotFoundError(
+        f"MNIST IDX files not found under {root} (tried mnist/, MNIST/raw/, .). "
+        "Place the standard files there, or use dataset 'synthetic-mnist'."
+    )
+
+
+# ---------------------------------------------------------------------------
+# CIFAR-10 — python pickles or binary batches
+# ---------------------------------------------------------------------------
+def _load_cifar10(root: Path, split: str):
+    pydir = root / "cifar-10-batches-py"
+    if pydir.exists():
+        names = (
+            [f"data_batch_{i}" for i in range(1, 6)]
+            if split == "train"
+            else ["test_batch"]
+        )
+        xs, ys = [], []
+        for n in names:
+            with open(pydir / n, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.append(np.asarray(d[b"labels"], np.uint8))
+        x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        return np.ascontiguousarray(x), np.concatenate(ys)
+    bindir = root / "cifar-10-batches-bin"
+    if bindir.exists():
+        names = (
+            [f"data_batch_{i}.bin" for i in range(1, 6)]
+            if split == "train"
+            else ["test_batch.bin"]
+        )
+        xs, ys = [], []
+        for n in names:
+            raw = np.frombuffer((bindir / n).read_bytes(), np.uint8)
+            rec = raw.reshape(-1, 3073)
+            ys.append(rec[:, 0].copy())
+            xs.append(rec[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        return np.ascontiguousarray(np.concatenate(xs)), np.concatenate(ys)
+    raise FileNotFoundError(
+        f"CIFAR-10 not found under {root} (tried cifar-10-batches-py/, "
+        "cifar-10-batches-bin/). Place it there, or use 'synthetic-cifar10'."
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic twins — deterministic, class-structured, learnable
+# ---------------------------------------------------------------------------
+def _synthetic(base: str, split: str, n_override: int | None = None):
+    """Class-conditional images: each class is a smooth random template plus
+    a per-sample random spatial shift, amplitude jitter and pixel noise.
+    Deterministic in (base, split).  Not linearly separable in pixel space
+    (shifts), but convnets reach >97% — good enough to exercise training,
+    feature extraction and retrieval metrics end-to-end."""
+    spec = _SPECS[base]
+    h, w, c = spec["shape"]
+    n = n_override or (spec["n_train"] if split == "train" else spec["n_test"])
+    k = spec["classes"]
+    rng = np.random.default_rng(712 if split == "train" else 713)
+
+    # Smooth low-frequency class templates (shared across splits).
+    trng = np.random.default_rng(714)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    templates = np.zeros((k, h, w, c))
+    for cls in range(k):
+        for ch in range(c):
+            img = np.zeros((h, w))
+            for _ in range(4):
+                fx, fy = trng.uniform(0.15, 0.6, 2)
+                px, py = trng.uniform(0, 2 * np.pi, 2)
+                amp = trng.uniform(0.5, 1.0)
+                img += amp * np.sin(fx * xx + px) * np.sin(fy * yy + py)
+            templates[cls, :, :, ch] = img
+    templates -= templates.min(axis=(1, 2, 3), keepdims=True)
+    templates /= templates.max(axis=(1, 2, 3), keepdims=True)
+
+    labels = rng.integers(0, k, size=n).astype(np.uint8)
+    shifts = rng.integers(-3, 4, size=(n, 2))
+    amps = rng.uniform(0.7, 1.0, size=(n, 1, 1, 1))
+    noise = rng.normal(0.0, 0.08, size=(n, h, w, c))
+
+    base_imgs = templates[labels]
+    rolled = np.empty_like(base_imgs)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            m = (shifts[:, 0] == dy) & (shifts[:, 1] == dx)
+            if m.any():
+                rolled[m] = np.roll(base_imgs[m], (dy, dx), axis=(1, 2))
+    imgs = np.clip(rolled * amps + noise, 0.0, 1.0)
+    return (imgs * 255).astype(np.uint8), labels
+
+
+def load_dataset(
+    name: str,
+    split: str,
+    data_dir: str | None = None,
+    *,
+    limit: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return ``(images uint8 NHWC, labels uint8)`` for ``split`` ∈
+    {'train', 'test'}.  ``limit`` truncates (synthetic generates exactly
+    ``limit`` — handy for tests)."""
+    if name not in DATASETS:
+        raise ValueError(f"unknown dataset {name!r}; available: {DATASETS}")
+    if split not in ("train", "test"):
+        raise ValueError(f"split must be 'train'|'test', got {split!r}")
+    root = _data_dir(data_dir)
+    if name == "mnist":
+        x, y = _load_mnist(root, split)
+    elif name == "cifar10":
+        x, y = _load_cifar10(root, split)
+    else:
+        x, y = _synthetic(name.replace("synthetic-", ""), split, limit)
+    if limit is not None:
+        x, y = x[:limit], y[:limit]
+    return x, y

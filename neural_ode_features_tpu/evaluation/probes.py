@@ -1,0 +1,97 @@
+"""Downstream feature-quality metrics: linear probe, kNN, retrieval mAP.
+
+Capability parity with the reference's evaluation scripts (reference:
+evaluate.py / notebooks — file names LOW-confidence, capability HIGH;
+SURVEY.md §3.5): given per-t feature matrices, compute classification and
+retrieval quality per t — the papers' metric-vs-t curves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["linear_probe_acc", "knn_acc", "retrieval_map", "evaluate_features"]
+
+
+def linear_probe_acc(
+    train_f: np.ndarray, train_y: np.ndarray,
+    test_f: np.ndarray, test_y: np.ndarray,
+) -> float:
+    """Multinomial logistic-regression probe (features are frozen)."""
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.preprocessing import StandardScaler
+
+    scaler = StandardScaler().fit(train_f)
+    clf = LogisticRegression(max_iter=2000, C=1.0)
+    clf.fit(scaler.transform(train_f), train_y)
+    return float(clf.score(scaler.transform(test_f), test_y))
+
+
+def knn_acc(
+    train_f: np.ndarray, train_y: np.ndarray,
+    test_f: np.ndarray, test_y: np.ndarray,
+    k: int = 5,
+) -> float:
+    from sklearn.neighbors import KNeighborsClassifier
+
+    clf = KNeighborsClassifier(n_neighbors=k)
+    clf.fit(train_f, train_y)
+    return float(clf.score(test_f, test_y))
+
+
+def retrieval_map(feats: np.ndarray, labels: np.ndarray) -> float:
+    """Leave-one-out retrieval mean average precision with L2 ranking:
+    each sample queries the rest of the set; relevant = same label."""
+    n = len(feats)
+    sq = np.sum(feats**2, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (feats @ feats.T)
+    np.fill_diagonal(d2, np.inf)
+    order = np.argsort(d2, axis=1)[:, : n - 1]  # (N, N-1) ranked indices
+
+    rel = labels[order] == labels[:, None]  # (N, N-1) relevance
+    cum_rel = np.cumsum(rel, axis=1)
+    ranks = np.arange(1, n)  # 1-based positions
+    precision_at = cum_rel / ranks[None, :]
+    n_rel = rel.sum(axis=1)
+    ap = np.where(
+        n_rel > 0,
+        (precision_at * rel).sum(axis=1) / np.maximum(n_rel, 1),
+        0.0,
+    )
+    return float(ap.mean())
+
+
+def evaluate_features(
+    train_feats: np.ndarray | None,
+    train_labels: np.ndarray | None,
+    test_feats: np.ndarray,
+    test_labels: np.ndarray,
+    *,
+    metrics=("linear", "knn", "map"),
+    knn_k: int = 5,
+    probe_split: float = 0.5,
+    seed: int = 0,
+) -> dict[str, float]:
+    """Metrics for ONE t's feature matrix.  Without a train split, probes use
+    a random half/half split of the test features (deterministic in seed)."""
+    if train_feats is None:
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(test_feats))
+        cut = int(len(idx) * probe_split)
+        train_feats, train_labels = test_feats[idx[:cut]], test_labels[idx[:cut]]
+        test_feats_p, test_labels_p = test_feats[idx[cut:]], test_labels[idx[cut:]]
+    else:
+        test_feats_p, test_labels_p = test_feats, test_labels
+
+    out = {}
+    if "linear" in metrics:
+        out["linear_acc"] = linear_probe_acc(
+            train_feats, train_labels, test_feats_p, test_labels_p
+        )
+    if "knn" in metrics:
+        out["knn_acc"] = knn_acc(
+            train_feats, train_labels, test_feats_p, test_labels_p, k=knn_k
+        )
+    if "map" in metrics:
+        out["retrieval_map"] = retrieval_map(test_feats, test_labels)
+    return out

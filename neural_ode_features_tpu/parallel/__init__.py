@@ -1,0 +1,5 @@
+"""Parallelism: device meshes and sharding helpers (SURVEY.md §2.4)."""
+
+from .mesh import data_sharding, make_mesh, replicate, shard_batch
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]

@@ -1,0 +1,244 @@
+"""Training engine: jitted SGD train/eval steps, data-parallel over a mesh.
+
+Capability parity with the reference's training pipeline (reference:
+train.py ``main``/``train_epoch``/``evaluate`` :~1-250 — UNVERIFIED, empty
+mount, SURVEY.md §3.1), redesigned TPU-first:
+
+  * one compiled train step: on-device normalise→augment→solve→loss→grad→
+    SGD update; raw uint8 batches stream in, nothing else crosses the host
+    boundary;
+  * data parallelism by sharding the batch axis of the inputs over a 1-D
+    mesh — XLA inserts the gradient all-reduce (no hand-written collectives);
+  * gradients through the ODE block via the adjoint (default, O(1) memory)
+    or direct backprop through a scan-unrolled solve (reference's default
+    semantics; memory-hungry, mainly for tests/small runs);
+  * NFE-forward is carried functionally in the step outputs; NFE-backward
+    via the adjoint host tap (solver.set_backward_nfe_tap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models import (
+    ModelConfig,
+    init_odenet,
+    init_resnet,
+    odenet_logits,
+    resnet_logits,
+)
+from .models.odenet import odefunc_apply
+from .ops.preprocess import augment, normalize
+from .parallel import data_sharding, make_mesh, replicate
+from .solver import odeint, odeint_adjoint
+
+__all__ = ["TrainConfig", "Trainer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """The CLI surface persisted to params.json (reference train.py flags)."""
+
+    dataset: str = "mnist"
+    model: str = "odenet"  # 'odenet' | 'resnet'
+    tol: float = 1e-3
+    solver: str = "dopri5"
+    adjoint: bool = True
+    error_control: str = "per_sample"
+    epochs: int = 160
+    batch_size: int = 128
+    lr: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    lr_decay_epochs: tuple[int, ...] = (60, 100, 140)
+    lr_decay_gamma: float = 0.1
+    seed: int = 0
+    augment: bool = True  # random crop (+flip for 3-channel data)
+    num_devices: int | None = None
+    compute_dtype: str = "float32"
+    max_steps: int = 1024
+
+    def model_config(self) -> ModelConfig:
+        in_ch = 3 if "cifar" in self.dataset else 1
+        return ModelConfig(
+            in_channels=in_ch,
+            tol=self.tol,
+            method=self.solver,
+            error_control=self.error_control,
+            adjoint=self.adjoint,
+            compute_dtype=self.compute_dtype,
+            max_steps=self.max_steps,
+        )
+
+
+def _model_fns(train_cfg: TrainConfig):
+    if train_cfg.model == "odenet":
+        return init_odenet, odenet_logits
+    if train_cfg.model == "resnet":
+        return init_resnet, lambda p, x, cfg, adjoint=None: (
+            resnet_logits(p, x, cfg),
+            None,
+        )
+    raise ValueError(f"unknown model {train_cfg.model!r}")
+
+
+def _direct_diff_logits(params, x, cfg: ModelConfig):
+    """Reference-default gradient semantics: direct backprop through the
+    (scan-unrolled, reverse-differentiable) adaptive solve."""
+    from .models.common import head_apply, stem_apply
+
+    h0 = stem_apply(params["stem"], x, cfg)
+    ts = jnp.asarray([0.0, 1.0], h0.dtype)
+    traj, stats = odeint(
+        lambda t, y: odefunc_apply(params["odefunc"], t, y, cfg),
+        h0,
+        ts,
+        rtol=cfg.tol,
+        atol=cfg.tol,
+        method=cfg.method,
+        error_control=cfg.error_control,
+        max_steps=cfg.max_steps,
+        unroll="scan",
+    )
+    return head_apply(params["head"], traj[-1], cfg), stats
+
+
+class Trainer:
+    """Owns params/opt-state, the compiled steps, and the mesh."""
+
+    def __init__(self, train_cfg: TrainConfig, steps_per_epoch: int):
+        self.cfg = train_cfg
+        self.model_cfg = train_cfg.model_config()
+        self.mesh = make_mesh(train_cfg.num_devices)
+        self.steps_per_epoch = steps_per_epoch
+
+        init_fn, self.apply_fn = _model_fns(train_cfg)
+        key = jax.random.PRNGKey(train_cfg.seed)
+        params = init_fn(key, self.model_cfg)
+
+        boundaries = {
+            e * steps_per_epoch: train_cfg.lr_decay_gamma
+            for e in train_cfg.lr_decay_epochs
+        }
+        schedule = optax.piecewise_constant_schedule(train_cfg.lr, boundaries)
+        self.schedule = schedule
+        tx = optax.chain(
+            optax.add_decayed_weights(train_cfg.weight_decay)
+            if train_cfg.weight_decay
+            else optax.identity(),
+            optax.sgd(schedule, momentum=train_cfg.momentum, nesterov=False),
+        )
+        self.tx = tx
+
+        rep = replicate(self.mesh)
+        self.params = jax.device_put(params, rep)
+        self.opt_state = jax.device_put(tx.init(params), rep)
+
+        dsh = data_sharding(self.mesh)
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            in_shardings=(rep, rep, dsh, dsh, rep),
+            # Keep params/opt-state replicated across steps — without the
+            # constraint GSPMD may shard small (64,) leaves over 'data'.
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        self._eval_step = jax.jit(
+            self._eval_step_impl, in_shardings=(rep, dsh, dsh, dsh)
+        )
+
+    # -- step bodies ---------------------------------------------------------
+    def _preprocess(self, images_u8, rng, train: bool):
+        x = normalize(images_u8, self.cfg.dataset)
+        if train and self.cfg.augment:
+            flip = x.shape[-1] == 3  # no flip for MNIST digits
+            x = augment(rng, x, pad=4, flip=flip)
+        return x
+
+    def _loss_and_logits(self, params, x, labels):
+        cfg = self.model_cfg
+        if self.cfg.model == "odenet":
+            if self.cfg.adjoint:
+                logits, stats = odenet_logits(params, x, cfg, adjoint=True)
+            else:
+                logits, stats = _direct_diff_logits(params, x, cfg)
+            nfe = jnp.mean(stats.nfe.astype(jnp.float32))
+        else:
+            logits = resnet_logits(params, x, cfg)
+            nfe = jnp.zeros(())
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        return loss, (logits, nfe)
+
+    def _train_step_impl(self, params, opt_state, images_u8, labels, rng):
+        x = self._preprocess(images_u8, rng, train=True)
+        (loss, (logits, nfe)), grads = jax.value_and_grad(
+            self._loss_and_logits, has_aux=True
+        )(params, x, labels)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return params, opt_state, {"loss": loss, "acc": acc, "nfe": nfe}
+
+    def _eval_step_impl(self, params, images_u8, labels, valid):
+        x = self._preprocess(images_u8, None, train=False)
+        cfg = self.model_cfg
+        if self.cfg.model == "odenet":
+            logits, stats = odenet_logits(params, x, cfg, adjoint=False)
+            nfe = jnp.sum(stats.nfe.astype(jnp.float32)) / jnp.maximum(
+                stats.nfe.shape[0], 1
+            )
+        else:
+            logits = resnet_logits(params, x, cfg)
+            nfe = jnp.zeros(())
+        valid_f = valid.astype(jnp.float32)
+        correct = ((jnp.argmax(logits, -1) == labels) & valid).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return {
+            "correct": jnp.sum(correct),
+            "loss_sum": jnp.sum(ce * valid_f),
+            "count": jnp.sum(valid_f),
+            "nfe": nfe,
+        }
+
+    # -- public API ----------------------------------------------------------
+    def train_batch(self, images_u8, labels, rng):
+        dsh = data_sharding(self.mesh)
+        images_u8 = jax.device_put(images_u8, dsh)
+        labels = jax.device_put(labels, dsh)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, images_u8, labels, rng
+        )
+        return metrics
+
+    def eval_batch(self, images_u8, labels, valid):
+        dsh = data_sharding(self.mesh)
+        return self._eval_step(
+            self.params,
+            jax.device_put(images_u8, dsh),
+            jax.device_put(labels.astype(np.int32), dsh),
+            jax.device_put(valid, dsh),
+        )
+
+    def evaluate(self, batches) -> dict[str, float]:
+        total = {"correct": 0.0, "loss_sum": 0.0, "count": 0.0, "nfe": 0.0}
+        n_batches = 0
+        for img, lab, valid in batches.padded_batches():
+            m = jax.device_get(self.eval_batch(img, lab, valid))
+            for k in ("correct", "loss_sum", "count"):
+                total[k] += float(m[k])
+            total["nfe"] += float(m["nfe"])
+            n_batches += 1
+        return {
+            "acc": total["correct"] / max(total["count"], 1),
+            "loss": total["loss_sum"] / max(total["count"], 1),
+            "nfe": total["nfe"] / max(n_batches, 1),
+        }

@@ -1,0 +1,143 @@
+"""Checkpointing: msgpack param pytrees + bidirectional torch conversion.
+
+BASELINE.json: "Preserve the repo's public surface — … checkpoint format".
+The reference stores a torch ``state_dict`` (reference: train.py
+``torch.save`` — UNVERIFIED, SURVEY.md §5).  Our native format is a flax
+msgpack serialisation of the nested param dict; the torch-parity surface is
+the documented name map below plus :func:`to_torch_state_dict` /
+:func:`from_torch_state_dict`, which make checkpoints convertible in both
+directions (torch itself is only imported inside the converter helpers).
+
+Name map (ours → torch-style reference names, layout conversions applied):
+
+  stem/conv0/kernel        downsampling_layers.0.weight       HWIO→OIHW
+  stem/norm1/{scale,bias}  downsampling_layers.1.{weight,bias}
+  stem/conv1/kernel        downsampling_layers.3.weight       HWIO→OIHW
+  stem/norm2/{scale,bias}  downsampling_layers.4.{weight,bias}
+  stem/conv2/kernel        downsampling_layers.6.weight       HWIO→OIHW
+  odefunc/norm1/…          feature_layers.0.odefunc.norm1.…
+  odefunc/conv1/kernel     feature_layers.0.odefunc.conv1._layer.weight
+  … (conv biases map to the same prefix + '.bias')
+  head/norm/{scale,bias}   fc_layers.0.{weight,bias}
+  head/fc/{kernel,bias}    fc_layers.4.{weight,bias}          DIO→OI (transpose)
+
+ResNet blocks: blocks[k]/… ↔ feature_layers.<k>.…
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..models.common import ModelConfig
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "to_torch_state_dict",
+    "from_torch_state_dict",
+]
+
+
+def save_checkpoint(path: str | Path, params: Any, cfg: ModelConfig,
+                    extra: dict | None = None) -> None:
+    """Write ``<path>`` (msgpack params) and ``<path>.json`` (config+extra)."""
+    from flax import serialization
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(jax.device_get(params)))
+    meta = {"config": dataclasses.asdict(cfg), "extra": extra or {}}
+    path.with_suffix(path.suffix + ".json").write_text(json.dumps(meta, indent=2))
+
+
+def load_checkpoint(path: str | Path, init_fn=None) -> tuple[Any, ModelConfig, dict]:
+    """Read params + config.  ``init_fn(key, cfg) -> template`` defaults to
+    the right initialiser for the persisted config's model family."""
+    from flax import serialization
+
+    path = Path(path)
+    meta = json.loads(path.with_suffix(path.suffix + ".json").read_text())
+    cfg = ModelConfig(**meta["config"])
+    if init_fn is None:
+        from ..models import init_odenet
+
+        init_fn = init_odenet
+    template = init_fn(jax.random.PRNGKey(0), cfg)
+    params = serialization.from_bytes(template, path.read_bytes())
+    return params, cfg, meta.get("extra", {})
+
+
+# ---------------------------------------------------------------------------
+# Torch conversion
+# ---------------------------------------------------------------------------
+def _flatten(params: Any, prefix="") -> dict[str, np.ndarray]:
+    out = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(params, (list, tuple)):
+        for i, v in enumerate(params):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(params)
+    return out
+
+
+def _to_torch_name_and_layout(name: str, arr: np.ndarray):
+    """Map 'stem/conv0/kernel' style names to torch-style dotted names with
+    torch tensor layouts (OIHW convs, (out,in) linears)."""
+    parts = name.split("/")
+    leaf = parts[-1]
+    tname = ".".join(parts[:-1])
+    if leaf == "kernel":
+        if arr.ndim == 4:  # HWIO → OIHW
+            return f"{tname}.weight", arr.transpose(3, 2, 0, 1)
+        return f"{tname}.weight", arr.T  # linear DIO → OI
+    if leaf == "scale":
+        return f"{tname}.weight", arr
+    return f"{tname}.{leaf}", arr
+
+
+def to_torch_state_dict(params: Any) -> dict[str, np.ndarray]:
+    """Export params as a torch-convention state dict (numpy values; wrap
+    with ``torch.from_numpy`` to feed a torch model)."""
+    out = {}
+    for name, arr in _flatten(params).items():
+        tname, tarr = _to_torch_name_and_layout(name, arr)
+        out[tname] = np.ascontiguousarray(tarr)
+    return out
+
+
+def from_torch_state_dict(template: Any, state: dict[str, np.ndarray]) -> Any:
+    """Inverse of :func:`to_torch_state_dict`: fill a params template from a
+    torch-convention dict (accepts torch tensors or numpy arrays)."""
+
+    def _get(name, like):
+        parts = name.split("/")
+        leaf = parts[-1]
+        tname = ".".join(parts[:-1])
+        key = f"{tname}.weight" if leaf in ("kernel", "scale") else f"{tname}.{leaf}"
+        arr = state[key]
+        arr = np.asarray(arr.detach().cpu() if hasattr(arr, "detach") else arr)
+        if leaf == "kernel":
+            arr = arr.transpose(2, 3, 1, 0) if arr.ndim == 4 else arr.T
+        return arr.astype(like.dtype).reshape(like.shape)
+
+    flat_names = _flatten(template)
+    filled = {n: _get(n, a) for n, a in flat_names.items()}
+
+    def _rebuild(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: _rebuild(v, f"{prefix}{k}/") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = [_rebuild(v, f"{prefix}{i}/") for i, v in enumerate(node)]
+            return type(node)(t) if isinstance(node, tuple) else t
+        return filled[prefix[:-1]]
+
+    return _rebuild(template)

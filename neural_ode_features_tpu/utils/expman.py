@@ -1,0 +1,94 @@
+"""Experiment management: deterministic run directories from hyperparams.
+
+Capability parity with the reference's ``expman`` (reference: expman
+submodule / pip dep, ``expman.Experiment`` — UNVERIFIED, SURVEY.md §2.1):
+a run directory whose name is derived from the hyperparameter dict, with
+``params.json`` persisted (so extract.py can rebuild the exact architecture)
+and an appendable ``log.csv``.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import re
+from pathlib import Path
+
+__all__ = ["Experiment"]
+
+
+def _abbrev(key: str) -> str:
+    """batch_size → batch_size (full keys: abbreviations collide — e.g.
+    adjoint/augment; the reference's expman also uses full names)."""
+    return key
+
+
+def _fmt(val) -> str:
+    if isinstance(val, bool):
+        return str(val)
+    if isinstance(val, float):
+        return f"{val:g}"
+    return re.sub(r"[^A-Za-z0-9.+-]", "", str(val))
+
+
+class Experiment:
+    """A run directory: ``<root>/<name>`` with params.json + log.csv.
+
+    ``name`` is deterministic in the param dict (sorted ``abbrev=value``
+    pairs), so re-launching with identical hyperparameters resumes the same
+    directory — the reference's expman lookup/resume behaviour.
+    """
+
+    PARAMS_FILE = "params.json"
+    LOG_FILE = "log.csv"
+
+    def __init__(self, root: str | Path, params: dict, name: str | None = None):
+        self.params = dict(params)
+        self.name = name or self.name_from_params(params)
+        self.path = Path(root) / self.name
+
+    @staticmethod
+    def name_from_params(params: dict) -> str:
+        items = sorted(params.items())
+        return "-".join(f"{_abbrev(k)}_{_fmt(v)}" for k, v in items)[:200]
+
+    # -- lifecycle -----------------------------------------------------------
+    def create(self) -> "Experiment":
+        self.path.mkdir(parents=True, exist_ok=True)
+        with open(self.path / self.PARAMS_FILE, "w") as f:
+            json.dump(self.params, f, indent=2, sort_keys=True, default=str)
+        return self
+
+    @property
+    def exists(self) -> bool:
+        return (self.path / self.PARAMS_FILE).exists()
+
+    @classmethod
+    def from_dir(cls, run_dir: str | Path) -> "Experiment":
+        run_dir = Path(run_dir)
+        with open(run_dir / cls.PARAMS_FILE) as f:
+            params = json.load(f)
+        exp = cls(run_dir.parent, params, name=run_dir.name)
+        return exp
+
+    # -- logging -------------------------------------------------------------
+    def log(self, row: dict) -> None:
+        """Append one CSV row (header written on first call; schema fixed by
+        the first row — the reference's per-epoch log.csv)."""
+        log_path = self.path / self.LOG_FILE
+        new = not log_path.exists()
+        with open(log_path, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if new:
+                writer.writeheader()
+            writer.writerow(row)
+
+    def read_log(self) -> list[dict]:
+        log_path = self.path / self.LOG_FILE
+        if not log_path.exists():
+            return []
+        with open(log_path) as f:
+            return list(csv.DictReader(f))
+
+    def file(self, name: str) -> Path:
+        return self.path / name

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Train an ODE-Net or ResNet on MNIST / CIFAR-10 (or their synthetic twins).
+
+CLI parity with the reference's training driver (reference: train.py
+argparse surface — UNVERIFIED, empty mount, SURVEY.md §2.1/§3.1): dataset
+and model selection, tolerance, adjoint flag, SGD schedule, seed; a run
+directory with persisted params.json, per-epoch log.csv and best/last
+checkpoints.
+
+Example:
+    python train.py --dataset synthetic-mnist --model odenet --tol 1e-3 \
+        --epochs 3 --batch-size 128 --lr 0.1 --runs-dir runs
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="mnist",
+                   choices=["mnist", "cifar10", "synthetic-mnist",
+                            "synthetic-cifar10"])
+    p.add_argument("--model", default="odenet", choices=["odenet", "resnet"])
+    p.add_argument("--tol", type=float, default=1e-3,
+                   help="rtol=atol for the adaptive solver")
+    p.add_argument("--solver", default="dopri5")
+    p.add_argument("--adjoint", action="store_true", default=True,
+                   help="adjoint gradients (default; O(1) memory)")
+    p.add_argument("--no-adjoint", dest="adjoint", action="store_false",
+                   help="direct backprop through a scan-unrolled solve")
+    p.add_argument("--error-control", default="per_sample",
+                   choices=["per_sample", "global"])
+    p.add_argument("--epochs", type=int, default=160)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--lr-decay-epochs", default="60,100,140")
+    p.add_argument("--lr-decay-gamma", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-augment", dest="augment", action="store_false",
+                   default=True)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 dynamics compute (solver control stays f32)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel devices (default: all)")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--runs-dir", default="runs")
+    p.add_argument("--limit", type=int, default=None,
+                   help="truncate the dataset (smoke tests)")
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (axon ignores JAX_PLATFORMS)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from neural_ode_features_tpu.data import Batches, load_dataset
+    from neural_ode_features_tpu.solver import set_backward_nfe_tap
+    from neural_ode_features_tpu.training import TrainConfig, Trainer
+    from neural_ode_features_tpu.utils import (
+        Experiment,
+        RunningAverageMeter,
+        save_checkpoint,
+    )
+
+    cfg = TrainConfig(
+        dataset=args.dataset,
+        model=args.model,
+        tol=args.tol,
+        solver=args.solver,
+        adjoint=args.adjoint,
+        error_control=args.error_control,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        lr_decay_epochs=tuple(
+            int(e) for e in args.lr_decay_epochs.split(",") if e
+        ),
+        lr_decay_gamma=args.lr_decay_gamma,
+        seed=args.seed,
+        augment=args.augment,
+        num_devices=args.num_devices,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+    )
+
+    exp_params = {k: v for k, v in vars(args).items()
+                  if k not in ("runs_dir", "data_dir", "cpu", "eval_every")}
+    exp = Experiment(args.runs_dir, exp_params).create()
+    print(f"run dir: {exp.path}")
+
+    x_train, y_train = load_dataset(args.dataset, "train", args.data_dir,
+                                    limit=args.limit)
+    x_test, y_test = load_dataset(args.dataset, "test", args.data_dir,
+                                  limit=args.limit)
+    train_b = Batches(x_train, y_train, args.batch_size, seed=args.seed)
+    test_b = Batches(x_test, y_test, args.batch_size, shuffle=False,
+                     drop_remainder=False)
+    print(f"train {len(x_train)} / test {len(x_test)} images; "
+          f"{len(train_b)} steps/epoch; devices: {jax.device_count()}")
+
+    trainer = Trainer(cfg, steps_per_epoch=len(train_b))
+
+    nfe_b_box = {"sum": 0.0, "n": 0}
+    if args.model == "odenet" and args.adjoint:
+        def _tap(nfe):
+            nfe_b_box["sum"] += float(nfe)
+            nfe_b_box["n"] += 1
+        set_backward_nfe_tap(_tap)
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    best_acc = 0.0
+    loss_m, nfe_m = RunningAverageMeter(), RunningAverageMeter()
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        nfe_b_box.update(sum=0.0, n=0)
+        tr_acc_sum = tr_count = 0.0
+        for images, labels in train_b:
+            rng, sub = jax.random.split(rng)
+            m = trainer.train_batch(images, labels, sub)
+            loss_m.update(float(m["loss"]))
+            nfe_m.update(float(m["nfe"]))
+            tr_acc_sum += float(m["acc"]) * len(labels)
+            tr_count += len(labels)
+        train_time = time.time() - t0
+
+        row = {
+            "epoch": epoch,
+            "train_loss": round(loss_m.avg, 6),
+            "train_acc": round(tr_acc_sum / max(tr_count, 1), 6),
+            "nfe_f": round(nfe_m.avg, 2),
+            "nfe_b": round(nfe_b_box["sum"] / max(nfe_b_box["n"], 1), 2),
+            "time_s": round(train_time, 2),
+        }
+
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            ev = trainer.evaluate(test_b)
+            row.update(test_loss=round(ev["loss"], 6),
+                       test_acc=round(ev["acc"], 6),
+                       test_nfe=round(ev["nfe"], 2))
+            if ev["acc"] >= best_acc:
+                best_acc = ev["acc"]
+                save_checkpoint(exp.file("ckpt_best.msgpack"), trainer.params,
+                                trainer.model_cfg,
+                                extra={"epoch": epoch, "test_acc": ev["acc"],
+                                       "train": exp_params,
+                                       "model": args.model})
+        exp.log(row)
+        print(" | ".join(f"{k}={v}" for k, v in row.items()), flush=True)
+
+    save_checkpoint(exp.file("ckpt_last.msgpack"), trainer.params,
+                    trainer.model_cfg,
+                    extra={"epoch": args.epochs - 1, "test_acc": best_acc,
+                           "train": exp_params, "model": args.model})
+    print(f"best test acc: {best_acc:.4f}; run dir: {exp.path}")
+    return exp.path
+
+
+if __name__ == "__main__":
+    main()
