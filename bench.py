@@ -34,6 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 dynamics (default f32 for NFE parity)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas ODEfunc kernel")
     p.add_argument("--cpu-batches", type=int, default=2)
     p.add_argument("--cpu-batch-size", type=int, default=32)
     p.add_argument("--skip-baseline", action="store_true")
@@ -61,6 +63,7 @@ def main(argv=None):
         tol=args.tol,
         error_control="per_sample",
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        use_pallas=args.pallas,
     )
     params = init_odenet(jax.random.PRNGKey(7), cfg)
 
@@ -146,6 +149,7 @@ def main(argv=None):
         "batch_size": args.batch_size,
         "backend": jax.default_backend(),
         "compute_dtype": cfg.compute_dtype,
+        "pallas": args.pallas,
     }
     print(json.dumps(result))
     return result

@@ -1,0 +1,184 @@
+"""Pallas-fused ODE dynamics: the whole f(t, h) as ONE TPU kernel.
+
+BASELINE.json north star: "the conv+GroupNorm ODEfunc fused into Pallas
+kernels so each RK stage is one XLA-resident block."  This kernel computes
+
+    GN → ReLU → ConcatConv3×3 → GN → ReLU → ConcatConv3×3 → GN
+
+for a batch tile entirely in VMEM: the feature map is loaded from HBM once
+and written once per stage evaluation, instead of round-tripping between the
+seven XLA fusions the jnp path lowers to.  The 3×3 convs are expressed as
+nine shifted (TB·H·W, C+1) @ (C+1, C) matmuls on the MXU with fp32
+accumulation; GroupNorm statistics are computed in fp32 on the VPU.
+
+Scope: forward evaluation (inference / feature extraction / benchmarks).
+The adjoint training path differentiates the mathematically-identical jnp
+implementation (models/odenet.py ``odefunc_apply``); a custom-VJP kernel pair
+can replace that later without interface changes.
+
+Equivalence with the jnp path is asserted by tests/test_pallas.py (CPU
+interpreter mode) and bench_tolerance_sweep's TPU check.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["odefunc_pallas", "pallas_supported"]
+
+
+def _group_assign(c: int, groups: int):
+    """0/1 channel→group assignment matrix (C, G) built *inside* the kernel
+    from iota (pallas_call rejects captured constant arrays).  Mosaic cannot
+    reshape across the lane dimension ((TB, C) → (TB, G, C/G) is an
+    'unsupported shape cast'), so group reductions are expressed as tiny MXU
+    matmuls with this matrix instead."""
+    gsize = c // groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    return (ch // gsize == grp).astype(jnp.float32)
+
+
+def _group_norm_in_kernel(h, scale, bias, groups, eps=1e-5):
+    """GroupNorm on a (TB, H, W, C) value in fp32; channel→group sums and the
+    group→channel broadcast are matmuls with a constant assignment matrix."""
+    tb, hh, ww, c = h.shape
+    gsize = c // groups
+    n = hh * ww * gsize
+    assign = _group_assign(c, groups)  # (C, G)
+
+    h32 = h.astype(jnp.float32)
+    s_c = jnp.sum(h32, axis=(1, 2))  # (TB, C)
+    s2_c = jnp.sum(h32 * h32, axis=(1, 2))
+    s_g = jnp.dot(s_c, assign, preferred_element_type=jnp.float32)  # (TB, G)
+    s2_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32)
+    mean_g = s_g / n
+    var_g = s2_g / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)  # (TB, G)
+
+    # Broadcast group stats back to channels: (TB, G) @ (G, C).
+    inv_c = jnp.dot(inv_g, assign.T, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean_g * inv_g, assign.T,
+                     preferred_element_type=jnp.float32)
+    out = h32 * inv_c[:, None, None, :] - mean_c[:, None, None, :]
+    return out * scale + bias
+
+
+def _concat_conv3x3(h, t_col, w, b):
+    """h (TB, H, W, C) fp32, t_col (TB, 1), w (3, 3, C+1, C), b (C,).
+    Time channel is concatenated before zero-padding (exact parity with
+    ops/layers.concat_time_channel + SAME conv)."""
+    tb, hh, ww, c = h.shape
+    t_map = jnp.broadcast_to(t_col[:, :, None, None], (tb, 1, hh, ww))
+    t_map = jnp.transpose(t_map, (0, 2, 3, 1))  # (TB, H, W, 1)
+    ht = jnp.concatenate([t_map, h], axis=-1)  # (TB, H, W, C+1)
+    hp = jnp.pad(ht, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    acc = jnp.zeros((tb * hh * ww, c), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            patch = hp[:, ky : ky + hh, kx : kx + ww, :].reshape(
+                tb * hh * ww, c + 1
+            )
+            acc = acc + jnp.dot(
+                patch, w[ky, kx], preferred_element_type=jnp.float32
+            )
+    return acc.reshape(tb, hh, ww, c) + b
+
+
+def _odefunc_kernel(
+    t_ref, x_ref,
+    n1s_ref, n1b_ref, w1_ref, b1_ref,
+    n2s_ref, n2b_ref, w2_ref, b2_ref,
+    n3s_ref, n3b_ref,
+    out_ref,
+    *, groups: int,
+):
+    t_col = t_ref[:]  # (TB, 1)
+    h = x_ref[:]  # (TB, H, W, C)
+
+    out = _group_norm_in_kernel(h, n1s_ref[:], n1b_ref[:], groups)
+    out = jnp.maximum(out, 0.0)
+    out = _concat_conv3x3(out, t_col, w1_ref[:], b1_ref[:])
+    out = _group_norm_in_kernel(out, n2s_ref[:], n2b_ref[:], groups)
+    out = jnp.maximum(out, 0.0)
+    out = _concat_conv3x3(out, t_col, w2_ref[:], b2_ref[:])
+    out = _group_norm_in_kernel(out, n3s_ref[:], n3b_ref[:], groups)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def pallas_supported(h: jnp.ndarray, groups: int) -> bool:
+    """The kernel covers the reference architecture family: NHWC maps with
+    channels divisible by groups and modest spatial dims (fit in VMEM)."""
+    if h.ndim != 4:
+        return False
+    _, hh, ww, c = h.shape
+    return c % groups == 0 and hh * ww <= 1024 and c <= 512
+
+
+def odefunc_pallas(
+    params, t, h: jnp.ndarray, *, groups: int = 32,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused ODE dynamics evaluation.  Drop-in equal (≤1e-5 f32) to
+    models/odenet.odefunc_apply for float32 inputs.
+
+    ``t``: scalar or (B,); ``h``: (B, H, W, C) float32.  ``interpret``
+    defaults to True on the CPU backend (Mosaic only compiles for TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _odefunc_pallas(params, t, h, groups=groups, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "interpret"))
+def _odefunc_pallas(
+    params, t, h: jnp.ndarray, *, groups: int, interpret: bool
+) -> jnp.ndarray:
+    b, hh, ww, c = h.shape
+    t = jnp.broadcast_to(jnp.asarray(t, h.dtype).reshape(-1), (b,))
+    t_col = t[:, None]
+
+    # Batch tile: biggest power-of-two ≤ 64 dividing B (grid covers B).
+    tb = min(64, b)
+    while b % tb:
+        tb //= 2
+    grid = (b // tb,)
+
+    w1 = params["conv1"]["kernel"].astype(jnp.float32)
+    w2 = params["conv2"]["kernel"].astype(jnp.float32)
+
+    def block(i):
+        return pl.BlockSpec(
+            (tb, hh, ww, c), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_odefunc_kernel, groups=groups),
+        out_shape=jax.ShapeDtypeStruct(h.shape, h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            block(0),
+            full(), full(), full(), full(),
+            full(), full(), full(), full(),
+            full(), full(),
+        ],
+        out_specs=block(0),
+        interpret=interpret,
+    )(
+        t_col, h,
+        params["norm1"]["scale"], params["norm1"]["bias"], w1,
+        params["conv1"]["bias"],
+        params["norm2"]["scale"], params["norm2"]["bias"], w2,
+        params["conv2"]["bias"],
+        params["norm3"]["scale"], params["norm3"]["bias"],
+    )

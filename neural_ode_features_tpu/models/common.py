@@ -50,6 +50,9 @@ class ModelConfig:
     # number of residual blocks (ResNet only)
     num_blocks: int = 6
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' dynamics compute
+    # Fused Pallas ODEfunc kernel on forward (inference/extraction) paths;
+    # the adjoint differentiates the identical jnp dynamics regardless.
+    use_pallas: bool = False
 
     @property
     def cdtype(self):

@@ -52,7 +52,16 @@ def init_odefunc(key, cfg: ModelConfig):
 
 def odefunc_apply(params, t, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """The dynamics f(t, h).  ``t`` may be scalar (batch-global control) or
-    (B,) (per-sample integration times)."""
+    (B,) (per-sample integration times).
+
+    With ``cfg.use_pallas`` (f32 only) the evaluation dispatches to the fused
+    Pallas kernel (kernels/odefunc_pallas.py) — numerically equal, one
+    VMEM-resident block per RK stage."""
+    if cfg.use_pallas and cfg.compute_dtype == "float32":
+        from ..kernels.odefunc_pallas import odefunc_pallas, pallas_supported
+
+        if pallas_supported(h, cfg.groups):
+            return odefunc_pallas(params, t, h, groups=cfg.groups)
     g = cfg.groups
     dtype = cfg.cdtype
     h = h.astype(dtype)
@@ -76,8 +85,14 @@ def init_odenet(key, cfg: ModelConfig):
 def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool):
     """Run the ODE block over ``ts``; returns ((T, B, H, W, C), stats)."""
     if adjoint:
+        # The adjoint differentiates the dynamics with jax.vjp — force the
+        # differentiable jnp path (the Pallas kernel is forward-only).
+        import dataclasses as _dc
+
+        cfg_d = _dc.replace(cfg, use_pallas=False)
+
         def dyn(p, t, y):
-            return odefunc_apply(p, t, y, cfg)
+            return odefunc_apply(p, t, y, cfg_d)
 
         return odeint_adjoint(
             dyn,

@@ -1,0 +1,236 @@
+"""Adaptive-step Adams–Bashforth–Moulton (PECE) multistep solver.
+
+Capability parity with the reference's adaptive ``adams`` method (reference:
+torchdiffeq/_impl/adams.py ``VariableCoefficientAdamsBashforth`` :~1-400 —
+UNVERIFIED, empty mount, SURVEY.md §2.2), redesigned for one on-device
+``lax.while_loop``:
+
+  * order-4 predictor (AB) / order-4 corrector (AM) with **variable
+    coefficients** computed at runtime from the actual (non-uniform) history
+    node positions: the integration weights are the exact integrals of the
+    Lagrange basis over the step, obtained per sample from a batched 4×4
+    Vandermonde moment solve — no uniform-grid assumption;
+  * per-sample step control and NFE accounting like the RK path (the carry
+    holds per-sample history nodes, times and done-masks);
+  * start-up by order ramping: the first steps use k = 1, 2, 3 node subsets
+    (selected with masks, everything fixed-shape for XLA);
+  * PECE: two dynamics evaluations per attempted step;
+  * predictor–corrector difference (Milne device) as the error estimate —
+    conservative w.r.t. the reference's estimator, same tolerance semantics;
+  * cubic-Hermite dense output per accepted step, same masked-write scheme
+    as the RK loop (N output times for one solve).
+
+Order is fixed at ≤4 (the reference ramps 1–12); tolerance accuracy is
+unchanged — the solver just takes more, cheaper steps at very tight
+tolerances.  Documented deviation, revisit if profiles demand it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .runge_kutta import (
+    SolveStats,
+    _error_ratio,
+    _optimal_dt,
+    _polyval,
+    _select_initial_step,
+)
+from .tableau import CUBIC_FIT
+
+__all__ = ["adams_odeint"]
+
+_K = 4  # max nodes (order)
+
+
+class _Carry(NamedTuple):
+    t: jnp.ndarray  # (B,)
+    dt: jnp.ndarray  # (B,)
+    y: jnp.ndarray  # (B, N)
+    hist_t: jnp.ndarray  # (B, K) node times, newest first (hist_t[:,0] == t)
+    hist_f: jnp.ndarray  # (B, K, N) dynamics at the nodes
+    nhist: jnp.ndarray  # (B,) valid node count (>= 1)
+    out: jnp.ndarray  # (T, B, N)
+    nfe: jnp.ndarray
+    naccept: jnp.ndarray
+    nreject: jnp.ndarray
+    done: jnp.ndarray
+    iters: jnp.ndarray
+
+
+def _integration_weights(s: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact ∫₀¹ of the Lagrange interpolant through nodes at normalised
+    positions ``s[..., :k]``: solve Vᵀ w = m with V[i,j] = s_i^j and moments
+    m_j = 1/(j+1).  s: (B, K) → w: (B, k)."""
+    sk = s[:, :k]
+    powers = jnp.stack([sk**j for j in range(k)], axis=-1)  # (B, k, k): V^T rows
+    moments = jnp.asarray([1.0 / (j + 1) for j in range(k)], s.dtype)
+    # Solve V^T w = m  ⇔  powers^T ... careful: we need sum_i w_i s_i^j = m_j.
+    a = jnp.swapaxes(powers, -1, -2)  # (B, k, k): a[j, i] = s_i^j
+    b = jnp.broadcast_to(moments, sk.shape[:-1] + (k,))[..., None]
+    if k == 1:
+        return jnp.ones_like(sk)
+    return jnp.linalg.solve(a, b)[..., 0]  # (B, k)
+
+
+def _combine(weights, fs, k):
+    """Σ_i w_i f_i over the first k nodes: (B, k) × (B, K, N) → (B, N)."""
+    return jnp.einsum("bi,bin->bn", weights, fs[:, :k])
+
+
+def adams_odeint(
+    func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    rtol: float,
+    atol: float,
+    *,
+    max_steps: int = 2**14,
+    first_step: float | None = None,
+    safety: float = 0.9,
+    ifactor: float = 2.0,  # conservative growth for multistep stability
+    dfactor: float = 0.2,
+    unroll: str = "while",
+) -> tuple[jnp.ndarray, SolveStats]:
+    """Adaptive ABM solve over monotonic ``ts``; same contract as
+    :func:`..runge_kutta.adaptive_odeint`."""
+    dtype = y0.dtype
+    batch, n = y0.shape
+    n_out = ts.shape[0]
+    ts = ts.astype(dtype)
+    fit = jnp.asarray(CUBIC_FIT, dtype)
+
+    direction = jnp.sign(ts[-1] - ts[0])
+    t_final = ts[-1]
+
+    t0 = jnp.full((batch,), ts[0], dtype)
+    f0 = func(t0, y0)
+    nfe0 = jnp.ones((batch,), jnp.int32)
+    if first_step is None:
+        dt0 = _select_initial_step(func, t0, y0, f0, direction, rtol, atol, 3)
+        nfe0 = nfe0 + 1
+    else:
+        dt0 = jnp.full((batch,), first_step, dtype) * direction
+
+    hist_t0 = jnp.broadcast_to(t0[:, None], (batch, _K))
+    hist_f0 = jnp.broadcast_to(f0[:, None, :], (batch, _K, n))
+    out0 = jnp.zeros((n_out, batch, n), dtype).at[0].set(y0)
+
+    carry0 = _Carry(
+        t=t0, dt=dt0, y=y0,
+        hist_t=hist_t0, hist_f=hist_f0,
+        nhist=jnp.ones((batch,), jnp.int32),
+        out=out0, nfe=nfe0,
+        naccept=jnp.zeros((batch,), jnp.int32),
+        nreject=jnp.zeros((batch,), jnp.int32),
+        done=jnp.zeros((batch,), bool),
+        iters=jnp.zeros((), jnp.int32),
+    )
+
+    def body(c: _Carry) -> _Carry:
+        active = ~c.done
+        t, dt, y = c.t, c.dt, c.y
+        dt_col = dt[:, None]
+        t1 = t + dt
+
+        # Normalised history positions: s_i = (hist_t_i - t) / dt  (≤ 0).
+        s_hist = (c.hist_t - t[:, None]) / dt_col
+
+        # --- Predict: AB-k over available history, k ramps with nhist ---
+        pred_k = [None] * (_K + 1)
+        for k in range(1, _K + 1):
+            w = _integration_weights(s_hist, k)
+            pred_k[k] = y + dt_col * _combine(w, c.hist_f, k)
+        y_pred = pred_k[1]
+        for k in range(2, _K + 1):
+            y_pred = jnp.where((c.nhist >= k)[:, None], pred_k[k], y_pred)
+
+        f_pred = func(t1, y_pred)
+
+        # --- Correct: AM over {t1} ∪ (k-1 newest history nodes) ---
+        s_corr = jnp.concatenate(
+            [jnp.ones((batch, 1), dtype), s_hist[:, : _K - 1]], axis=1
+        )
+        f_corr_nodes = jnp.concatenate(
+            [f_pred[:, None, :], c.hist_f[:, : _K - 1]], axis=1
+        )
+        corr_k = [None] * (_K + 1)
+        for k in range(2, _K + 1):
+            w = _integration_weights(s_corr, k)
+            corr_k[k] = y + dt_col * _combine(w, f_corr_nodes, k)
+        y_corr = corr_k[2]
+        for k in range(3, _K + 1):
+            y_corr = jnp.where((c.nhist >= k - 1)[:, None], corr_k[k], y_corr)
+
+        f_new = func(t1, y_corr)
+
+        # --- Milne-device error estimate + controller ---
+        err = y_corr - y_pred
+        ratio = _error_ratio(err, y, y_corr, rtol, atol)
+        accept = (ratio <= 1.0) & active
+        order = jnp.minimum(c.nhist + 1, _K)  # effective corrector order
+        new_dt = jnp.where(
+            active,
+            _optimal_dt(dt, ratio, accept, 4, safety, ifactor, dfactor),
+            dt,
+        )
+
+        # --- cubic-Hermite dense output on [t, t1] ---
+        data = jnp.stack(
+            [y, y_corr, dt_col * c.hist_f[:, 0], dt_col * f_new]
+        )
+        coeffs = jnp.einsum("cd,dbn->cbn", fit, data)
+        x = (ts[:, None] - t[None, :]) / dt[None, :]
+        write = accept[None, :] & (x > 0.0) & (x <= 1.0)
+        vals = _polyval(coeffs, x[:, :, None])
+        out = jnp.where(write[:, :, None], vals, c.out)
+
+        # --- masked history shift on accept ---
+        acc_col = accept[:, None]
+        new_hist_t = jnp.where(
+            acc_col,
+            jnp.concatenate([t1[:, None], c.hist_t[:, : _K - 1]], axis=1),
+            c.hist_t,
+        )
+        new_hist_f = jnp.where(
+            accept[:, None, None],
+            jnp.concatenate([f_new[:, None, :], c.hist_f[:, : _K - 1]], axis=1),
+            c.hist_f,
+        )
+        reached = accept & (direction * (t1 - t_final) >= 0.0)
+
+        return _Carry(
+            t=jnp.where(accept, t1, t),
+            dt=new_dt,
+            y=jnp.where(acc_col, y_corr, y),
+            hist_t=new_hist_t,
+            hist_f=new_hist_f,
+            nhist=jnp.where(accept, jnp.minimum(c.nhist + 1, _K), c.nhist),
+            out=out,
+            nfe=c.nfe + jnp.where(active, 2, 0),
+            naccept=c.naccept + accept.astype(jnp.int32),
+            nreject=c.nreject + (active & ~accept).astype(jnp.int32),
+            done=c.done | reached,
+            iters=c.iters + 1,
+        )
+
+    if unroll == "while":
+        final = lax.while_loop(
+            lambda c: (~jnp.all(c.done)) & (c.iters < max_steps), body, carry0
+        )
+    elif unroll == "scan":
+        final, _ = lax.scan(lambda c, _: (body(c), None), carry0, None,
+                            length=max_steps)
+    else:
+        raise ValueError(f"unknown unroll mode {unroll!r}")
+
+    return final.out, SolveStats(
+        nfe=final.nfe,
+        naccept=final.naccept,
+        nreject=final.nreject,
+        success=final.done,
+    )

@@ -25,6 +25,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+from .adams import adams_odeint
 from .fixed_grid import FIXED_GRID_METHODS, fixed_grid_odeint
 from .ravel import ravel_batched, ravel_full
 from .runge_kutta import SolveStats, adaptive_odeint
@@ -32,7 +33,7 @@ from .tableau import ADAPTIVE_TABLEAUS
 
 __all__ = ["odeint", "SOLVERS", "SolveStats"]
 
-SOLVERS: tuple[str, ...] = tuple(ADAPTIVE_TABLEAUS) + FIXED_GRID_METHODS
+SOLVERS: tuple[str, ...] = tuple(ADAPTIVE_TABLEAUS) + ("adams",) + FIXED_GRID_METHODS
 
 
 def odeint(
@@ -124,6 +125,17 @@ def odeint(
             rtol,
             atol,
             ADAPTIVE_TABLEAUS[method],
+            max_steps=max_steps,
+            first_step=first_step,
+            unroll=unroll,
+        )
+    elif method == "adams":
+        ys, stats = adams_odeint(
+            flat_func,
+            flat0,
+            ts,
+            rtol,
+            atol,
             max_steps=max_steps,
             first_step=first_step,
             unroll=unroll,

@@ -94,6 +94,7 @@ def _direct_diff_logits(params, x, cfg: ModelConfig):
     (scan-unrolled, reverse-differentiable) adaptive solve."""
     from .models.common import head_apply, stem_apply
 
+    cfg = dataclasses.replace(cfg, use_pallas=False)  # must be differentiable
     h0 = stem_apply(params["stem"], x, cfg)
     ts = jnp.asarray([0.0, 1.0], h0.dtype)
     traj, stats = odeint(

@@ -1,0 +1,55 @@
+"""Adaptive Adams (ABM-PECE) solver tests — the multistep engine row of the
+component inventory (SURVEY.md §2.2)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_ode_features_tpu.solver import odeint
+
+import problems as P
+
+
+@pytest.mark.parametrize("problem", P.ALL_PROBLEMS, ids=lambda p: p.name)
+def test_adams_accuracy(problem):
+    rtol, atol = 1e-6, 1e-8
+    ts = np.linspace(0.0, 2.0, 7)
+    ys, stats = odeint(
+        problem.func, jnp.asarray(problem.y0), jnp.asarray(ts),
+        rtol=rtol, atol=atol, method="adams",
+    )
+    exact = problem.exact(ts, problem.y0)
+    err = np.max(np.abs(np.asarray(ys) - exact))
+    scale = np.max(np.abs(exact)) + 1.0
+    assert bool(np.all(stats.success))
+    assert err < 1e4 * rtol * scale * problem.hardness, f"err={err:.3e}"
+
+
+def test_adams_fewer_evals_than_rk_per_step():
+    """The multistep selling point: 2 evals/step vs dopri5's 6."""
+    ts = jnp.asarray([0.0, 2.0])
+    y0 = jnp.asarray(P.SINE.y0)
+    _, s_ad = odeint(P.SINE.func, y0, ts, rtol=1e-6, atol=1e-8, method="adams")
+    evals_per_step = float(s_ad.nfe[0]) / float(s_ad.naccept[0] + s_ad.nreject[0])
+    assert evals_per_step < 2.5, evals_per_step
+
+
+def test_adams_reverse_time():
+    ts = jnp.asarray([0.0, 1.0])
+    y0 = jnp.asarray(P.EXPONENTIAL.y0)
+    ys, _ = odeint(P.EXPONENTIAL.func, y0, ts, rtol=1e-7, atol=1e-9,
+                   method="adams")
+    back, _ = odeint(P.EXPONENTIAL.func, ys[-1], jnp.asarray([1.0, 0.0]),
+                     rtol=1e-7, atol=1e-9, method="adams")
+    np.testing.assert_allclose(np.asarray(back[-1]), np.asarray(y0),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_adams_per_sample_control():
+    _, stats = odeint(
+        P.stiff_func_for(P.STIFF_LAMBDA), jnp.asarray(P.STIFF_Y0),
+        jnp.asarray([0.0, 1.0]), rtol=1e-6, atol=1e-8,
+        method="adams", error_control="per_sample",
+    )
+    nfe = np.asarray(stats.nfe)
+    assert nfe[3] > nfe[0]

@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--limit", type=int, default=None,
                    help="truncate the dataset (smoke tests)")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N train steps "
+                        "(written to <run_dir>/profile)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (axon ignores JAX_PLATFORMS)")
     return p.parse_args(argv)
@@ -98,7 +101,8 @@ def main(argv=None):
     )
 
     exp_params = {k: v for k, v in vars(args).items()
-                  if k not in ("runs_dir", "data_dir", "cpu", "eval_every")}
+                  if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
+                               "profile")}
     exp = Experiment(args.runs_dir, exp_params).create()
     print(f"run dir: {exp.path}")
 
@@ -125,13 +129,26 @@ def main(argv=None):
     best_acc = 0.0
     loss_m, nfe_m = RunningAverageMeter(), RunningAverageMeter()
 
+    profile_left = args.profile
+    step_idx = 0
     for epoch in range(args.epochs):
         t0 = time.time()
         nfe_b_box.update(sum=0.0, n=0)
         tr_acc_sum = tr_count = 0.0
         for images, labels in train_b:
             rng, sub = jax.random.split(rng)
+            if profile_left and step_idx == 2:  # skip compile steps
+                jax.profiler.start_trace(str(exp.file("profile")))
             m = trainer.train_batch(images, labels, sub)
+            step_idx += 1
+            if profile_left and step_idx > 2:
+                profile_left -= 1
+                if profile_left == 0:
+                    jax.tree.map(
+                        lambda a: a.block_until_ready(), m
+                    )
+                    jax.profiler.stop_trace()
+                    print(f"profile written to {exp.file('profile')}")
             loss_m.update(float(m["loss"]))
             nfe_m.update(float(m["nfe"]))
             tr_acc_sum += float(m["acc"]) * len(labels)
