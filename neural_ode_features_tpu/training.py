@@ -210,6 +210,74 @@ class Trainer:
             "nfe": nfe,
         }
 
+    # -- fused epoch: the whole epoch as ONE device dispatch ------------------
+    # MNIST/CIFAR fit in HBM as uint8 (45/180 MB), so the epoch loop can be a
+    # lax.scan over shuffled batch indices with zero host round trips — the
+    # host only ships the dataset once and fetches per-step metrics once per
+    # epoch.  (The reference pays a DataLoader + kernel-launch round trip per
+    # batch; on this machine's tunneled TPU a dispatch alone costs ~0.6 s.)
+    def _train_epoch_impl(self, params, opt_state, images, labels, perm, rng):
+        from .parallel import data_sharding
+
+        dsh = data_sharding(self.mesh)
+
+        def step(carry, xs):
+            params, opt_state, rng = carry
+            idx = xs
+            rng, sub = jax.random.split(rng)
+            img = jax.lax.with_sharding_constraint(images[idx], dsh)
+            lab = jax.lax.with_sharding_constraint(labels[idx], dsh)
+            x = self._preprocess(img, sub, train=True)
+            (loss, (logits, nfe)), grads = jax.value_and_grad(
+                self._loss_and_logits, has_aux=True
+            )(params, x, lab)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            acc = jnp.mean((jnp.argmax(logits, -1) == lab).astype(jnp.float32))
+            return (params, opt_state, rng), {
+                "loss": loss, "acc": acc, "nfe": nfe
+            }
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            step, (params, opt_state, rng), perm
+        )
+        return params, opt_state, metrics
+
+    def train_epoch(self, images_u8, labels, epoch: int):
+        """Run one epoch fully on device; returns stacked per-step metrics."""
+        from .parallel import replicate
+
+        rep = replicate(self.mesh)
+        if not hasattr(self, "_train_epoch"):
+            self._train_epoch = jax.jit(
+                self._train_epoch_impl,
+                in_shardings=(rep, rep, rep, rep, rep, rep),
+                out_shardings=(rep, rep, rep),
+                donate_argnums=(0, 1),
+            )
+            self._staged = None
+        key = (id(images_u8), len(images_u8))
+        if self._staged is None or self._staged[0] != key:
+            self._staged = (
+                key,
+                jax.device_put(images_u8, rep),
+                jax.device_put(labels.astype(np.int32), rep),
+            )
+        _, img_dev, lab_dev = self._staged
+
+        n = len(images_u8)
+        bs = self.cfg.batch_size
+        steps = n // bs
+        rng_np = np.random.default_rng((self.cfg.seed, epoch))
+        perm = rng_np.permutation(n)[: steps * bs].reshape(steps, bs)
+        perm = jax.device_put(perm.astype(np.int32), rep)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1), epoch)
+
+        self.params, self.opt_state, metrics = self._train_epoch(
+            self.params, self.opt_state, img_dev, lab_dev, perm, rng
+        )
+        return jax.device_get(metrics)
+
     # -- public API ----------------------------------------------------------
     def train_batch(self, images_u8, labels, rng):
         dsh = data_sharding(self.mesh)

@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--limit", type=int, default=None,
                    help="truncate the dataset (smoke tests)")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--no-fused-epoch", dest="fused_epoch",
+                   action="store_false", default=True,
+                   help="per-batch host loop instead of the default "
+                        "whole-epoch-on-device lax.scan")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N train steps "
                         "(written to <run_dir>/profile)")
@@ -131,28 +135,37 @@ def main(argv=None):
 
     profile_left = args.profile
     step_idx = 0
+    use_fused = args.fused_epoch and not args.profile
     for epoch in range(args.epochs):
         t0 = time.time()
         nfe_b_box.update(sum=0.0, n=0)
         tr_acc_sum = tr_count = 0.0
-        for images, labels in train_b:
-            rng, sub = jax.random.split(rng)
-            if profile_left and step_idx == 2:  # skip compile steps
-                jax.profiler.start_trace(str(exp.file("profile")))
-            m = trainer.train_batch(images, labels, sub)
-            step_idx += 1
-            if profile_left and step_idx > 2:
-                profile_left -= 1
-                if profile_left == 0:
-                    jax.tree.map(
-                        lambda a: a.block_until_ready(), m
-                    )
-                    jax.profiler.stop_trace()
-                    print(f"profile written to {exp.file('profile')}")
-            loss_m.update(float(m["loss"]))
-            nfe_m.update(float(m["nfe"]))
-            tr_acc_sum += float(m["acc"]) * len(labels)
-            tr_count += len(labels)
+        if use_fused:
+            em = trainer.train_epoch(x_train, y_train, epoch)
+            for i in range(len(em["loss"])):
+                loss_m.update(float(em["loss"][i]))
+                nfe_m.update(float(em["nfe"][i]))
+            tr_acc_sum = float(np.mean(em["acc"])) * args.batch_size * len(
+                em["acc"]
+            )
+            tr_count = args.batch_size * len(em["acc"])
+        else:
+            for images, labels in train_b:
+                rng, sub = jax.random.split(rng)
+                if profile_left and step_idx == 2:  # skip compile steps
+                    jax.profiler.start_trace(str(exp.file("profile")))
+                m = trainer.train_batch(images, labels, sub)
+                step_idx += 1
+                if profile_left and step_idx > 2:
+                    profile_left -= 1
+                    if profile_left == 0:
+                        jax.tree.map(lambda a: a.block_until_ready(), m)
+                        jax.profiler.stop_trace()
+                        print(f"profile written to {exp.file('profile')}")
+                loss_m.update(float(m["loss"]))
+                nfe_m.update(float(m["nfe"]))
+                tr_acc_sum += float(m["acc"]) * len(labels)
+                tr_count += len(labels)
         train_time = time.time() - t0
 
         row = {
