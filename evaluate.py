@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--knn-k", type=int, default=5)
     p.add_argument("--limit", type=int, default=None,
                    help="subsample test features (mAP is O(N^2))")
+    p.add_argument("--tsne", action="store_true",
+                   help="also write 2-D t-SNE embeddings per t "
+                        "(tsne_t*.csv next to the feature file)")
     p.add_argument("--output", default=None)
     return p.parse_args(argv)
 
@@ -66,6 +69,16 @@ def main(argv=None):
         rows.append({"t": round(float(t), 4),
                      **{k: round(v, 4) for k, v in m.items()}})
         print(" | ".join(f"{k}={v}" for k, v in rows[-1].items()), flush=True)
+        if args.tsne:
+            from sklearn.manifold import TSNE
+
+            emb = TSNE(n_components=2, init="pca", random_state=0,
+                       perplexity=min(30, max(5, len(labels) // 20))
+                       ).fit_transform(feats[i])
+            out_t = Path(args.features).with_name(f"tsne_t{float(t):.2f}.csv")
+            np.savetxt(out_t, np.column_stack([emb, labels]),
+                       delimiter=",", header="x,y,label", comments="")
+            print(f"  wrote {out_t}")
 
     out = Path(args.output) if args.output else (
         Path(args.features).with_name("metrics_vs_t.csv")

@@ -46,6 +46,7 @@ class ModelConfig:
     method: str = "dopri5"
     error_control: str = "per_sample"
     adjoint: bool = False
+    adjoint_seminorm: bool = False  # backward error norm on (y, a_y) only
     max_steps: int = 4096
     # number of residual blocks (ResNet only)
     num_blocks: int = 6

@@ -104,6 +104,7 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool):
             method=cfg.method,
             error_control=cfg.error_control,
             max_steps=cfg.max_steps,
+            adjoint_seminorm=cfg.adjoint_seminorm,
         )
 
     def dyn_closed(t, y):

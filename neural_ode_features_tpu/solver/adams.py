@@ -95,6 +95,7 @@ def adams_odeint(
     ifactor: float = 2.0,  # conservative growth for multistep stability
     dfactor: float = 0.2,
     unroll: str = "while",
+    error_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Adaptive ABM solve over monotonic ``ts``; same contract as
     :func:`..runge_kutta.adaptive_odeint`."""
@@ -170,7 +171,7 @@ def adams_odeint(
 
         # --- Milne-device error estimate + controller ---
         err = y_corr - y_pred
-        ratio = _error_ratio(err, y, y_corr, rtol, atol)
+        ratio = _error_ratio(err, y, y_corr, rtol, atol, error_mask)
         accept = (ratio <= 1.0) & active
         order = jnp.minimum(c.nhist + 1, _K)  # effective corrector order
         new_dt = jnp.where(

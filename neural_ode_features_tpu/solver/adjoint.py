@@ -71,9 +71,9 @@ def _thaw(t: tuple) -> dict:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _odeint_adjoint(func, cfg, params, y0, ts):
     kw = _thaw(cfg)
-    kw.pop("adjoint_rtol", None)
-    kw.pop("adjoint_atol", None)
-    kw.pop("adjoint_max_steps", None)
+    for k in ("adjoint_rtol", "adjoint_atol", "adjoint_max_steps",
+              "adjoint_seminorm"):
+        kw.pop(k, None)
     ys, stats = odeint(lambda t, y: func(params, t, y), y0, ts, **kw)
     return ys, stats
 
@@ -103,6 +103,18 @@ def _bwd(func, cfg, residuals, cotangents):
         unroll=kw.get("unroll", "while"),
         steps_per_interval=kw.get("steps_per_interval", 1),
     )
+    if kw.get("adjoint_seminorm"):
+        # Seminorm adjoint (Kidger et al. 2020, arXiv:2009.09457): control
+        # backward error only on (y, a_y); the a_θ / a_t columns are pure
+        # integrals that cannot feed back into the dynamics, so excluding
+        # them from the accept/reject norm cuts backward NFE with no
+        # first-order effect on gradient accuracy.
+        solve_kw["error_mask"] = {
+            "y": jax.tree.map(lambda _: 1.0, y0),
+            "a_y": jax.tree.map(lambda _: 1.0, y0),
+            "a_p": jax.tree.map(lambda _: 0.0, params),
+            "a_t": 0.0,
+        }
 
     def aug_dynamics(t, aug):
         y, a_y = aug["y"], aug["a_y"]
@@ -189,13 +201,16 @@ def odeint_adjoint(
     adjoint_rtol: float | None = None,
     adjoint_atol: float | None = None,
     adjoint_max_steps: int | None = None,
+    adjoint_seminorm: bool = False,
 ):
     """Like :func:`~.odeint.odeint` but differentiable w.r.t. ``params``,
     ``y0`` and ``ts`` via the augmented reverse-time adjoint ODE.
 
     ``func(params, t, y)`` must be a pure function of its explicit arguments.
     ``adjoint_{rtol,atol,max_steps}`` override the backward-solve tolerances
-    (default: same as forward).
+    (default: same as forward).  ``adjoint_seminorm=True`` restricts the
+    backward error norm to the (y, a_y) columns — typically 20-60%% fewer
+    backward NFE at equal gradient quality (Kidger et al. 2020).
 
     Returns ``(ys, SolveStats)``; the stats carry no gradient.
     """
@@ -211,6 +226,7 @@ def odeint_adjoint(
             adjoint_rtol=adjoint_rtol,
             adjoint_atol=adjoint_atol,
             adjoint_max_steps=adjoint_max_steps,
+            adjoint_seminorm=adjoint_seminorm,
         )
     )
     return _odeint_adjoint(func, cfg, params, y0, jnp.asarray(ts))

@@ -49,6 +49,7 @@ def odeint(
     first_step: float | None = None,
     unroll: str = "while",
     steps_per_interval: int = 1,
+    error_mask: Any = None,
 ) -> tuple[Any, SolveStats]:
     """Solve ``dy/dt = func(t, y)`` from ``y0`` over times ``ts``.
 
@@ -70,6 +71,9 @@ def odeint(
       unroll: ``'while'`` (fast, on-device early exit) or ``'scan'``
         (reverse-differentiable; use small ``max_steps``).
       steps_per_interval: substeps per ``ts`` interval (fixed-grid methods).
+      error_mask: optional pytree like ``y0`` with 0/1 leaves — adaptive error
+        control restricted to the selected state entries (seminorm control;
+        Kidger et al. 2020).
 
     Returns:
       ys: pytree like ``y0`` with a new leading time axis ``T``.
@@ -106,6 +110,19 @@ def odeint(
         def flat_func(t, y_flat):
             return flatten(func(t[0], unravel(y_flat)))
 
+    flat_mask = None
+    if error_mask is not None:
+        import jax as _jax
+
+        mask_full = _jax.tree.map(
+            lambda y, m: jnp.broadcast_to(
+                jnp.asarray(m, flat0.dtype), y.shape
+            ),
+            y0,
+            error_mask,
+        )
+        flat_mask = flatten(mask_full)
+
     if ts.shape[0] == 1:
         ys = flat0[None]
         batch = flat0.shape[0]
@@ -128,6 +145,7 @@ def odeint(
             max_steps=max_steps,
             first_step=first_step,
             unroll=unroll,
+            error_mask=flat_mask,
         )
     elif method == "adams":
         ys, stats = adams_odeint(
@@ -139,6 +157,7 @@ def odeint(
             max_steps=max_steps,
             first_step=first_step,
             unroll=unroll,
+            error_mask=flat_mask,
         )
     else:
         ys, stats = fixed_grid_odeint(

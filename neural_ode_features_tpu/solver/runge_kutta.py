@@ -74,12 +74,24 @@ def _rms(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(jnp.square(x), axis=-1))
 
 
-def _error_ratio(err, y0, y1, rtol, atol):
+def _error_ratio(err, y0, y1, rtol, atol, mask=None):
     """Mixed-tolerance error norm (reference: torchdiffeq/_impl/misc.py
     ``_compute_error_ratio`` — UNVERIFIED): RMS of err scaled by
-    ``atol + rtol * max(|y0|, |y1|)``, one ratio per sample row."""
+    ``atol + rtol * max(|y0|, |y1|)``, one ratio per sample row.
+
+    ``mask`` (broadcastable to (B, N), 0/1) restricts the norm to a subset of
+    state columns — the *seminorm* trick of Kidger et al. 2020
+    (arXiv:2009.09457, PAPERS.md): the adjoint backward solve controls error
+    only on (y, a_y), not on the parameter-gradient columns, which
+    substantially cuts backward NFE at equal gradient quality."""
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    ratio = _rms(err / scale)
+    r = err / scale
+    if mask is None:
+        ratio = _rms(r)
+    else:
+        mask = jnp.broadcast_to(mask, r.shape).astype(r.dtype)
+        denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+        ratio = jnp.sqrt(jnp.sum(jnp.square(r) * mask, axis=-1) / denom)
     return jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
 
 
@@ -147,6 +159,7 @@ def adaptive_odeint(
     ifactor: float = 10.0,
     dfactor: float = 0.2,
     unroll: str = "while",
+    error_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Integrate ``dy/dt = func(t, y)`` over the monotonic grid ``ts``.
 
@@ -160,6 +173,8 @@ def adaptive_odeint(
       first_step: optional fixed initial step (unsigned); default Hairer.
       unroll: 'while' (early exit, fastest) or 'scan' (static trip count,
         reverse-differentiable — for gradient tests only).
+      error_mask: optional 0/1 array broadcastable to (B, N) — error control
+        restricted to these state columns (seminorm; see _error_ratio).
 
     Returns:
       ys: (T, B, N) solution at ``ts`` (ys[0] ≡ y0).
@@ -242,7 +257,7 @@ def adaptive_odeint(
             f1 = func(t0 + dt, y1)
             new_evals = stages
 
-        ratio = _error_ratio(err, y0, y1, rtol, atol)
+        ratio = _error_ratio(err, y0, y1, rtol, atol, error_mask)
         accept = (ratio <= 1.0) & active
         t1 = t0 + dt
 

@@ -51,6 +51,7 @@ class TrainConfig:
     tol: float = 1e-3
     solver: str = "dopri5"
     adjoint: bool = True
+    adjoint_seminorm: bool = False
     error_control: str = "per_sample"
     epochs: int = 160
     batch_size: int = 128
@@ -73,6 +74,7 @@ class TrainConfig:
             method=self.solver,
             error_control=self.error_control,
             adjoint=self.adjoint,
+            adjoint_seminorm=self.adjoint_seminorm,
             compute_dtype=self.compute_dtype,
             max_steps=self.max_steps,
         )

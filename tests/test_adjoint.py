@@ -110,3 +110,35 @@ def test_adjoint_jits(setup):
     params, y0, ts = setup
     g = jax.jit(jax.grad(_loss_adjoint))(params, y0, ts)
     assert np.all(np.isfinite(np.asarray(jax.flatten_util.ravel_pytree(g)[0])))
+
+
+def test_seminorm_adjoint_cuts_backward_nfe(setup):
+    """Seminorm control (Kidger et al. 2020): same gradients to ~rtol, fewer
+    backward NFE than the full-norm adjoint."""
+    from neural_ode_features_tpu.solver import set_backward_nfe_tap
+
+    params, y0, ts = setup
+    counts = []
+
+    def tap(n):
+        counts.append(int(n))
+
+    set_backward_nfe_tap(tap)
+    try:
+        def loss(p, semi):
+            ys, _ = odeint_adjoint(_dynamics, p, y0, ts,
+                                   adjoint_seminorm=semi, **TOL)
+            return jnp.sum(ys[-1] ** 2)
+
+        g_full = jax.grad(lambda p: loss(p, False))(params)
+        nfe_full = counts[-1]
+        g_semi = jax.grad(lambda p: loss(p, True))(params)
+        nfe_semi = counts[-1]
+    finally:
+        set_backward_nfe_tap(None)
+
+    a = jax.flatten_util.ravel_pytree(g_full)[0]
+    b = jax.flatten_util.ravel_pytree(g_semi)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-7)
+    assert nfe_semi <= nfe_full, (nfe_semi, nfe_full)

@@ -33,6 +33,9 @@ def parse_args(argv=None):
                    help="adjoint gradients (default; O(1) memory)")
     p.add_argument("--no-adjoint", dest="adjoint", action="store_false",
                    help="direct backprop through a scan-unrolled solve")
+    p.add_argument("--adjoint-seminorm", action="store_true",
+                   help="seminorm backward error control (Kidger et al. "
+                        "2020): fewer backward NFE, same gradient quality")
     p.add_argument("--error-control", default="per_sample",
                    choices=["per_sample", "global"])
     p.add_argument("--epochs", type=int, default=160)
@@ -88,6 +91,7 @@ def main(argv=None):
         tol=args.tol,
         solver=args.solver,
         adjoint=args.adjoint,
+        adjoint_seminorm=args.adjoint_seminorm,
         error_control=args.error_control,
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -123,7 +127,11 @@ def main(argv=None):
     trainer = Trainer(cfg, steps_per_epoch=len(train_b))
 
     nfe_b_box = {"sum": 0.0, "n": 0}
-    if args.model == "odenet" and args.adjoint:
+    # Backward-NFE logging needs jax io_callback, which some PJRT backends
+    # (the axon remote TPU here) don't implement — enable on CPU only.
+    if args.model == "odenet" and args.adjoint and (
+        jax.default_backend() == "cpu"
+    ):
         def _tap(nfe):
             nfe_b_box["sum"] += float(nfe)
             nfe_b_box["n"] += 1
