@@ -280,6 +280,95 @@ class Trainer:
         )
         return jax.device_get(metrics)
 
+    # -- fused eval: whole test set in one dispatch ---------------------------
+    def _eval_fused_impl(self, params, images, labels, idx):
+        from .parallel import data_sharding
+
+        dsh = data_sharding(self.mesh)
+
+        def step(carry, batch_idx):
+            img = jax.lax.with_sharding_constraint(images[batch_idx], dsh)
+            lab = jax.lax.with_sharding_constraint(labels[batch_idx], dsh)
+            x = self._preprocess(img, None, train=False)
+            cfg = self.model_cfg
+            if self.cfg.model == "odenet":
+                logits, stats = odenet_logits(params, x, cfg, adjoint=False)
+                nfe = jnp.mean(stats.nfe.astype(jnp.float32))
+            else:
+                logits = resnet_logits(params, x, cfg)
+                nfe = jnp.zeros(())
+            correct = jnp.sum(
+                (jnp.argmax(logits, -1) == lab).astype(jnp.float32)
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, lab)
+            return carry, {"correct": correct, "loss": jnp.sum(ce),
+                           "nfe": nfe}
+
+        _, m = jax.lax.scan(step, None, idx)
+        return m
+
+    def evaluate_fused(self, images_u8, labels) -> dict[str, float]:
+        """Evaluate the whole (batch-size-truncated) set in ONE dispatch;
+        numerically identical to :meth:`evaluate` on the covered samples."""
+        from .parallel import replicate
+
+        rep = replicate(self.mesh)
+        if not hasattr(self, "_eval_fused"):
+            self._eval_fused = jax.jit(
+                self._eval_fused_impl,
+                in_shardings=(rep, rep, rep, rep),
+                out_shardings=rep,
+            )
+            self._eval_staged = None
+        key = (id(images_u8), len(images_u8))
+        if self._eval_staged is None or self._eval_staged[0] != key:
+            self._eval_staged = (
+                key,
+                jax.device_put(images_u8, rep),
+                jax.device_put(labels.astype(np.int32), rep),
+            )
+        _, img_dev, lab_dev = self._eval_staged
+
+        bs = self.cfg.batch_size
+        n = (len(images_u8) // bs) * bs
+        idx = jax.device_put(
+            np.arange(n, dtype=np.int32).reshape(-1, bs), rep
+        )
+        m = jax.device_get(self._eval_fused(self.params, img_dev, lab_dev, idx))
+        return {
+            "acc": float(np.sum(m["correct"])) / n,
+            "loss": float(np.sum(m["loss"])) / n,
+            "nfe": float(np.mean(m["nfe"])),
+        }
+
+    # -- resume ----------------------------------------------------------------
+    def save_state(self, path) -> None:
+        """Full training state (params + optimizer) for preemption resume
+        (reference: expman run lookup/resume — SURVEY.md §5)."""
+        from flax import serialization
+
+        blob = serialization.to_bytes(
+            {"params": jax.device_get(self.params),
+             "opt_state": jax.device_get(self.opt_state)}
+        )
+        from pathlib import Path
+
+        Path(path).write_bytes(blob)
+
+    def load_state(self, path) -> None:
+        from flax import serialization
+
+        from pathlib import Path
+
+        from .parallel import replicate
+
+        template = {"params": jax.device_get(self.params),
+                    "opt_state": jax.device_get(self.opt_state)}
+        blob = serialization.from_bytes(template, Path(path).read_bytes())
+        rep = replicate(self.mesh)
+        self.params = jax.device_put(blob["params"], rep)
+        self.opt_state = jax.device_put(blob["opt_state"], rep)
+
     # -- public API ----------------------------------------------------------
     def train_batch(self, images_u8, labels, rng):
         dsh = data_sharding(self.mesh)

@@ -7,12 +7,13 @@ from .checkpoint import (
     to_torch_state_dict,
 )
 from .expman import Experiment
-from .meters import AverageMeter, RunningAverageMeter
+from .meters import AverageMeter, RunningAverageMeter, count_parameters
 
 __all__ = [
     "Experiment",
     "RunningAverageMeter",
     "AverageMeter",
+    "count_parameters",
     "save_checkpoint",
     "load_checkpoint",
     "to_torch_state_dict",

@@ -3,7 +3,15 @@
 
 from __future__ import annotations
 
-__all__ = ["RunningAverageMeter", "AverageMeter"]
+__all__ = ["RunningAverageMeter", "AverageMeter", "count_parameters"]
+
+
+def count_parameters(params) -> int:
+    """Total scalar parameter count of a pytree (reference: utils.py
+    ``count_parameters`` — UNVERIFIED, SURVEY.md §2.1)."""
+    import jax
+
+    return sum(leaf.size for leaf in jax.tree.leaves(params))
 
 
 class RunningAverageMeter:

@@ -90,3 +90,16 @@ def test_evaluate(tiny_data):
     ev = trainer.evaluate(Batches(x, y, 16, shuffle=False, drop_remainder=False))
     assert 0.0 <= ev["acc"] <= 1.0
     assert ev["nfe"] > 5
+
+
+def test_evaluate_fused_matches_per_batch(tiny_data):
+    x, y = tiny_data
+    cfg = _cfg()
+    trainer = Trainer(cfg, steps_per_epoch=4)
+    ev_f = trainer.evaluate_fused(x, y)
+    ev_b = trainer.evaluate(
+        Batches(x, y, cfg.batch_size, shuffle=False, drop_remainder=True)
+    )
+    assert abs(ev_f["acc"] - ev_b["acc"]) < 1e-6
+    assert abs(ev_f["loss"] - ev_b["loss"]) < 1e-5
+    assert abs(ev_f["nfe"] - ev_b["nfe"]) < 0.5

@@ -61,6 +61,10 @@ def parse_args(argv=None):
                    action="store_false", default=True,
                    help="per-batch host loop instead of the default "
                         "whole-epoch-on-device lax.scan")
+    p.add_argument("--no-resume", dest="resume", action="store_false",
+                   default=True,
+                   help="ignore an existing train_state.msgpack in the run "
+                        "dir (default: resume it, expman-style)")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N train steps "
                         "(written to <run_dir>/profile)")
@@ -110,7 +114,7 @@ def main(argv=None):
 
     exp_params = {k: v for k, v in vars(args).items()
                   if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
-                               "profile")}
+                               "profile", "resume")}
     exp = Experiment(args.runs_dir, exp_params).create()
     print(f"run dir: {exp.path}")
 
@@ -125,6 +129,22 @@ def main(argv=None):
           f"{len(train_b)} steps/epoch; devices: {jax.device_count()}")
 
     trainer = Trainer(cfg, steps_per_epoch=len(train_b))
+    from neural_ode_features_tpu.utils.meters import count_parameters
+    print(f"model parameters: {count_parameters(trainer.params):,}")
+
+    start_epoch = 0
+    resumed_best = 0.0
+    state_path = exp.file("train_state.msgpack")
+    if args.resume and state_path.exists():
+        trainer.load_state(state_path)
+        log_rows = exp.read_log()
+        start_epoch = (int(log_rows[-1]["epoch"]) + 1) if log_rows else 0
+        resumed_best = max(
+            (float(r["test_acc"]) for r in log_rows if r.get("test_acc")),
+            default=0.0,
+        )
+        print(f"resumed {state_path} at epoch {start_epoch} "
+              f"(best so far {resumed_best:.4f})")
 
     nfe_b_box = {"sum": 0.0, "n": 0}
     # Backward-NFE logging needs jax io_callback, which some PJRT backends
@@ -138,13 +158,13 @@ def main(argv=None):
         set_backward_nfe_tap(_tap)
 
     rng = jax.random.PRNGKey(args.seed + 1)
-    best_acc = 0.0
+    best_acc = resumed_best
     loss_m, nfe_m = RunningAverageMeter(), RunningAverageMeter()
 
     profile_left = args.profile
     step_idx = 0
     use_fused = args.fused_epoch and not args.profile
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         nfe_b_box.update(sum=0.0, n=0)
         tr_acc_sum = tr_count = 0.0
@@ -186,7 +206,10 @@ def main(argv=None):
         }
 
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
-            ev = trainer.evaluate(test_b)
+            if use_fused:
+                ev = trainer.evaluate_fused(x_test, y_test)
+            else:
+                ev = trainer.evaluate(test_b)
             row.update(test_loss=round(ev["loss"], 6),
                        test_acc=round(ev["acc"], 6),
                        test_nfe=round(ev["nfe"], 2))
@@ -198,6 +221,7 @@ def main(argv=None):
                                        "train": exp_params,
                                        "model": args.model})
         exp.log(row)
+        trainer.save_state(state_path)
         print(" | ".join(f"{k}={v}" for k, v in row.items()), flush=True)
 
     save_checkpoint(exp.file("ckpt_last.msgpack"), trainer.params,
