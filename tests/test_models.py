@@ -129,3 +129,25 @@ def test_bfloat16_compute_path():
     logits, stats = odenet_logits(params, _x(cfg), cfg)
     assert logits.dtype == jnp.float32  # solver state stays f32
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_object_api():
+    """Reference-style class surface: ODENet / ResNet / ODEBlock."""
+    from neural_ode_features_tpu.models import ODEBlock, ODENet, ResNet
+
+    net = ODENet.create(jax.random.PRNGKey(0), in_channels=1, tol=1e-2)
+    x = _x(CFG_MNIST)
+    logits, stats = net(x)
+    assert logits.shape == (2, 10)
+    feats, _ = net.features(x, jnp.linspace(0, 1, 4))
+    assert feats.shape == (4, 2, 64)
+
+    block = ODEBlock(net.params["odefunc"], net.config)
+    from neural_ode_features_tpu.models.common import stem_apply
+    h0 = stem_apply(net.params["stem"], x, net.config)
+    h1, st = block(h0)
+    assert h1.shape == h0.shape
+
+    res = ResNet.create(jax.random.PRNGKey(1), in_channels=1)
+    assert res(x).shape == (2, 10)
+    assert res.features(x).shape == (7, 2, 64)
