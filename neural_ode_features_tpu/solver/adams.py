@@ -35,9 +35,9 @@ from jax import lax
 
 from .runge_kutta import (
     SolveStats,
+    _dense_write,
     _error_ratio,
     _optimal_dt,
-    _polyval,
     _select_initial_step,
 )
 from .tableau import CUBIC_FIT
@@ -139,7 +139,17 @@ def adams_odeint(
         t1 = t + dt
 
         # Normalised history positions: s_i = (hist_t_i - t) / dt  (≤ 0).
-        s_hist = (c.hist_t - t[:, None]) / dt_col
+        # Invalid (not-yet-filled) history columns hold duplicated node
+        # times, which would make the Vandermonde systems below exactly
+        # singular — their NaN primals are masked by the order-ramp selects,
+        # but linalg.solve's transpose rule re-injects NaN into gradients in
+        # scan (reverse-differentiable) mode.  Substitute distinct dummy
+        # positions for them; their weights are never selected.
+        col = jnp.arange(_K, dtype=jnp.int32)[None, :]
+        s_raw = (c.hist_t - t[:, None]) / dt_col
+        s_hist = jnp.where(
+            col < c.nhist[:, None], s_raw, -(col.astype(dtype) + 1.0)
+        )
 
         # --- Predict: AB-k over available history, k ramps with nhist ---
         pred_k = [None] * (_K + 1)
@@ -153,6 +163,8 @@ def adams_odeint(
         f_pred = func(t1, y_pred)
 
         # --- Correct: AM over {t1} ∪ (k-1 newest history nodes) ---
+        # Same dummy-node protection: corrector column j >= 1 is valid iff
+        # j - 1 < nhist.
         s_corr = jnp.concatenate(
             [jnp.ones((batch, 1), dtype), s_hist[:, : _K - 1]], axis=1
         )
@@ -173,10 +185,12 @@ def adams_odeint(
         err = y_corr - y_pred
         ratio = _error_ratio(err, y, y_corr, rtol, atol, error_mask)
         accept = (ratio <= 1.0) & active
-        order = jnp.minimum(c.nhist + 1, _K)  # effective corrector order
+        # Effective corrector order during the 1-2-3-4 ramp drives the
+        # controller exponent (broadcasts as a per-sample array).
+        order = jnp.minimum(c.nhist + 1, _K).astype(dtype)
         new_dt = jnp.where(
             active,
-            _optimal_dt(dt, ratio, accept, 4, safety, ifactor, dfactor),
+            _optimal_dt(dt, ratio, accept, order, safety, ifactor, dfactor),
             dt,
         )
 
@@ -184,11 +198,7 @@ def adams_odeint(
         data = jnp.stack(
             [y, y_corr, dt_col * c.hist_f[:, 0], dt_col * f_new]
         )
-        coeffs = jnp.einsum("cd,dbn->cbn", fit, data)
-        x = (ts[:, None] - t[None, :]) / dt[None, :]
-        write = accept[None, :] & (x > 0.0) & (x <= 1.0)
-        vals = _polyval(coeffs, x[:, :, None])
-        out = jnp.where(write[:, :, None], vals, c.out)
+        out = _dense_write(fit, data, ts, t, t1, dt, direction, accept, c.out)
 
         # --- masked history shift on accept ---
         acc_col = accept[:, None]

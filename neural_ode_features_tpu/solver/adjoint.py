@@ -47,7 +47,12 @@ _BACKWARD_NFE_TAP = None
 
 def set_backward_nfe_tap(fn) -> None:
     """Register ``fn(nfe: int) -> None`` to observe backward-solve NFE
-    (pass ``None`` to disable)."""
+    (pass ``None`` to disable).
+
+    Caveats: the tap is read at *trace* time — register it before the first
+    backward pass is compiled (already-cached executables are unaffected).
+    It relies on ``jax.experimental.io_callback``, which some PJRT backends
+    (the axon remote TPU) do not implement; leave unset there."""
     global _BACKWARD_NFE_TAP
     _BACKWARD_NFE_TAP = fn
 
@@ -89,13 +94,17 @@ def _bwd(func, cfg, residuals, cotangents):
     g_ys, _g_stats = cotangents
     kw = _thaw(cfg)
 
-    rtol = kw.get("adjoint_rtol") or kw.get("rtol", 1e-7)
-    atol = kw.get("adjoint_atol") or kw.get("atol", 1e-9)
+    def _override(opt_key, base_key, default):
+        v = kw.get(opt_key)
+        return kw.get(base_key, default) if v is None else v
+
+    rtol = _override("adjoint_rtol", "rtol", 1e-7)
+    atol = _override("adjoint_atol", "atol", 1e-9)
     solve_kw = dict(
         rtol=rtol,
         atol=atol,
         method=kw.get("method", "dopri5"),
-        max_steps=kw.get("adjoint_max_steps") or kw.get("max_steps", 2**14),
+        max_steps=_override("adjoint_max_steps", "max_steps", 2**14),
         # The augmented state couples every sample through shared a_θ, so the
         # backward solve always uses batch-global error control (as the
         # reference does for everything).
@@ -158,7 +167,10 @@ def _bwd(func, cfg, residuals, cotangents):
         span = jnp.stack([t_hi, t_lo])
         aug_traj, aug_stats = odeint(aug_dynamics, aug0, span, **solve_kw)
         aug1 = jax.tree.map(lambda x: x[-1], aug_traj)
-        return (aug1["a_y"], aug1["a_p"], aug1["a_t"]), (g_t_i, aug_stats.nfe[0])
+        return (
+            (aug1["a_y"], aug1["a_p"], aug1["a_t"]),
+            (g_t_i, aug_stats.nfe[0], aug_stats.success[0]),
+        )
 
     # Reverse-ordered per-interval inputs: i = T-1 … 1.
     rev = lambda x: jnp.flip(x, axis=0)
@@ -168,7 +180,7 @@ def _bwd(func, cfg, residuals, cotangents):
         jax.tree.map(lambda g: rev(g[1:]), g_ys),
         jax.tree.map(lambda y: rev(y[1:]), ys),
     )
-    (a_y, a_p, a_t), (g_t_rev, nfe_b) = lax.scan(
+    (a_y, a_p, a_t), (g_t_rev, nfe_b, ok) = lax.scan(
         interval, (a_y0, a_p0, a_t0), xs
     )
 
@@ -179,7 +191,16 @@ def _bwd(func, cfg, residuals, cotangents):
 
     a_y = jax.tree.map(lambda a, g: a + g[0], a_y, g_ys)
     grad_ts = jnp.zeros_like(ts).at[1:].set(rev(g_t_rev)).at[0].set(a_t)
-    return a_p, a_y, grad_ts
+
+    # A failed backward solve (max_steps exhausted — e.g. atol=0 with
+    # exactly-zero augmented components making the relative norm infinite)
+    # must not masquerade as zero gradients: poison them with NaN so the
+    # caller sees the failure.
+    all_ok = jnp.all(ok)
+    poison = lambda g: jnp.where(all_ok, g, jnp.full_like(g, jnp.nan))
+    a_p = jax.tree.map(poison, a_p)
+    a_y = jax.tree.map(poison, a_y)
+    return a_p, a_y, poison(grad_ts)
 
 
 _odeint_adjoint.defvjp(_fwd, _bwd)

@@ -7,10 +7,13 @@ UNVERIFIED, empty mount, SURVEY.md §0/§2.2), redesigned for TPU:
   * The user passes ``func(t, y)`` over an arbitrary pytree state; the front
     door flattens to a ``(B, N)`` matrix once and the entire solve runs as a
     single compiled on-device loop.
-  * ``error_control='per_sample'`` (the TPU-native default for batched
-    states): every batch row gets its own adaptive step sequence and NFE
-    count — the reference cannot do this (its error norm reduces over the
-    whole batch, SURVEY.md §2.4).
+  * ``error_control='per_sample'`` (the TPU-native mode for batched
+    states; the model layer's ``ModelConfig`` defaults to it): every batch
+    row gets its own adaptive step sequence and NFE count — the reference
+    cannot do this (its error norm reduces over the whole batch, SURVEY.md
+    §2.4).  It requires every state leaf to carry a leading batch axis,
+    which arbitrary user pytrees may not have — hence ``odeint`` itself
+    defaults to ``'global'`` (reference semantics, any state shape).
   * ``error_control='global'`` reproduces the reference's batch-global
     semantics exactly (one norm over the whole flattened state), for
     NFE-parity comparisons against torchdiffeq.
@@ -97,6 +100,20 @@ def odeint(
         diffs = _np.diff(_np.asarray(ts))
         if not (_np.all(diffs > 0) or _np.all(diffs < 0)):
             raise ValueError("ts must be strictly monotonic (either direction)")
+        if method == "fixed_adams" and not _np.allclose(
+            diffs, diffs[0], rtol=1e-6
+        ):
+            raise ValueError(
+                "fixed_adams assumes a uniformly spaced ts grid (its constant"
+                " substep would silently desynchronise from a non-uniform"
+                " grid); use steps_per_interval on a uniform grid, or the"
+                " adaptive 'adams' method"
+            )
+    if error_mask is not None and method in FIXED_GRID_METHODS:
+        raise ValueError(
+            "error_mask (seminorm control) only applies to adaptive methods;"
+            f" {method!r} is fixed-grid"
+        )
 
     if error_control == "per_sample":
         flat0, unravel, flatten = ravel_batched(y0)

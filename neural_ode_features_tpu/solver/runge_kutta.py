@@ -70,8 +70,15 @@ class _Carry(NamedTuple):
 
 
 def _rms(x: jnp.ndarray) -> jnp.ndarray:
-    """Root-mean-square over the state axis: (B, N) → (B,)."""
-    return jnp.sqrt(jnp.mean(jnp.square(x), axis=-1))
+    """Root-mean-square over the state axis: (B, N) → (B,).
+
+    The epsilon inside the sqrt is value-neutral (√tiny ≈ 1e-19 ≪ any
+    meaningful ratio) but keeps the VJP finite: tiny per-component errors
+    square-underflow to exactly 0 in f32, and sqrt'(0)=∞ would turn the
+    downstream zero cotangents of the step controller into 0·∞ = NaN in the
+    reverse-differentiable (scan) mode."""
+    eps = jnp.finfo(x.dtype).tiny
+    return jnp.sqrt(jnp.mean(jnp.square(x), axis=-1) + eps)
 
 
 def _error_ratio(err, y0, y1, rtol, atol, mask=None):
@@ -85,13 +92,25 @@ def _error_ratio(err, y0, y1, rtol, atol, mask=None):
     only on (y, a_y), not on the parameter-gradient columns, which
     substantially cuts backward NFE at equal gradient quality."""
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    r = err / scale
+    # atol=0 with exactly-zero state entries gives scale=0: err 0 there means
+    # a perfectly-resolved component (ratio 0), not 0/0 = NaN → reject-forever.
+    r = jnp.where(
+        scale > 0.0,
+        err / jnp.where(scale > 0.0, scale, 1.0),
+        jnp.where(err == 0.0, 0.0, jnp.inf),
+    )
     if mask is None:
         ratio = _rms(r)
     else:
         mask = jnp.broadcast_to(mask, r.shape).astype(r.dtype)
         denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
-        ratio = jnp.sqrt(jnp.sum(jnp.square(r) * mask, axis=-1) / denom)
+        # Select, don't multiply: excluded entries may hold inf (atol=0 with
+        # zero-scale components) and inf*0 = NaN would poison the sum.
+        r_sq = jnp.where(mask > 0.0, jnp.square(r), 0.0)
+        ratio = jnp.sqrt(
+            jnp.sum(r_sq, axis=-1) / denom
+            + jnp.finfo(r.dtype).tiny  # see _rms: keeps sqrt VJP finite
+        )
     return jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
 
 
@@ -143,6 +162,30 @@ def _polyval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     for i in range(coeffs.shape[0] - 2, -1, -1):
         val = val * x + coeffs[i]
     return val
+
+
+def _dense_write(fit, data, ts, t0, t1, dt, direction, accept, out):
+    """Fit the dense-output polynomial on an accepted step and write every
+    requested output time the step covers.
+
+    The coverage test is done in *t-space* — ``(ts - t0) and (ts - t1)``
+    against the integration direction — NOT in normalised x-space: with
+    float rounding, ``t1 = t0 + dt`` can satisfy ``t1 >= ts[j]`` (so the
+    sample is marked done) while ``(ts[j] - t0)/dt`` lands just above 1.0,
+    which would leave ``out[j]`` permanently at its zeros initialisation.
+    The evaluation coordinate is clamped to [0, 1] for the same reason.
+
+    fit: (D+1, D+1) collocation matrix; data: (D+1, B, N); out: (T, B, N).
+    """
+    coeffs = jnp.einsum("cd,dbn->cbn", fit, data)
+    covered = (
+        accept[None, :]
+        & (direction * (ts[:, None] - t0[None, :]) > 0.0)
+        & (direction * (ts[:, None] - t1[None, :]) <= 0.0)
+    )
+    x = jnp.clip((ts[:, None] - t0[None, :]) / dt[None, :], 0.0, 1.0)
+    vals = _polyval(coeffs, x[:, :, None])
+    return jnp.where(covered[:, :, None], vals, out)
 
 
 def adaptive_odeint(
@@ -269,13 +312,7 @@ def adaptive_odeint(
             data = jnp.stack([y0, y1, y_mid, dt_col * f0, dt_col * f1])
         else:
             data = jnp.stack([y0, y1, dt_col * f0, dt_col * f1])
-        coeffs = jnp.einsum("cd,dbn->cbn", fit, data)
-
-        # x: (T, B, 1); write any requested time this accepted step covers.
-        x = (ts[:, None] - t0[None, :]) / dt[None, :]
-        write = accept[None, :] & (x > 0.0) & (x <= 1.0)
-        vals = _polyval(coeffs, x[:, :, None])
-        out = jnp.where(write[:, :, None], vals, c.out)
+        out = _dense_write(fit, data, ts, t0, t1, dt, direction, accept, c.out)
 
         # --- controller + masked state update ---
         new_dt = jnp.where(

@@ -53,3 +53,49 @@ def test_adams_per_sample_control():
     )
     nfe = np.asarray(stats.nfe)
     assert nfe[3] > nfe[0]
+
+
+def test_adams_scan_mode_gradients_finite():
+    """Regression (code review): the order-ramp's duplicated history nodes
+    made the Vandermonde solves singular; NaNs leaked into scan-mode
+    gradients through linalg.solve's transpose rule."""
+    import jax
+
+    def loss(y0):
+        ys, _ = odeint(lambda t, y: -y, y0, jnp.asarray([0.0, 1.0]),
+                       rtol=1e-5, atol=1e-7, method="adams",
+                       unroll="scan", max_steps=64)
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.grad(loss)(jnp.ones((2, 3)))
+    assert np.all(np.isfinite(np.asarray(g))), g
+
+
+def test_fixed_adams_rejects_nonuniform_ts():
+    with pytest.raises(ValueError, match="uniform"):
+        odeint(lambda t, y: -y, jnp.ones((1, 2)),
+               jnp.asarray([0.0, 0.1, 0.5, 1.0]), method="fixed_adams")
+
+
+def test_error_mask_rejected_for_fixed_grid():
+    with pytest.raises(ValueError, match="seminorm"):
+        odeint(lambda t, y: -y, jnp.ones((1, 2)), jnp.asarray([0.0, 1.0]),
+               method="rk4", error_mask=jnp.ones((1, 2)))
+
+
+def test_adams_scan_mode_gradients_finite_f32():
+    """x64-disabled variant (regression: mean(err^2) underflowed to 0 in f32
+    and sqrt'(0)=inf leaked NaN through the controller's zero cotangents —
+    the tests-only x64 default masked this)."""
+    import jax
+
+    def loss(y0):
+        ys, _ = odeint(lambda t, y: -y, y0, jnp.asarray([0.0, 1.0], jnp.float32),
+                       rtol=1e-5, atol=1e-7, method="adams",
+                       unroll="scan", max_steps=64)
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.grad(loss)(jnp.ones((2, 3), jnp.float32))
+    assert g.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(g))), g
+    np.testing.assert_allclose(np.asarray(g), 2 * np.exp(-2.0), rtol=1e-3)

@@ -142,3 +142,28 @@ def test_seminorm_adjoint_cuts_backward_nfe(setup):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-7)
     assert nfe_semi <= nfe_full, (nfe_semi, nfe_full)
+
+
+def test_adjoint_explicit_zero_atol_respected(setup):
+    """Regression (code review): adjoint_atol=0.0 was discarded by a falsy
+    `or` fallback and silently replaced with the forward atol.  Honouring it
+    makes the backward solve *fail* for these dynamics — pure-relative error
+    control is ill-posed whenever a state component sits at exactly 0 (a_θ
+    starts there; y components cross zero), for the reference's solver just
+    the same — and that failure must surface as NaN gradients, never as
+    silent zeros (or, as before the fix, as silently different tolerances)."""
+    params, y0, ts = setup
+
+    def grad_with(**adj_kw):
+        return jax.flatten_util.ravel_pytree(jax.grad(lambda p: jnp.sum(
+            odeint_adjoint(_dynamics, p, y0, ts, rtol=1e-6, atol=1e-8,
+                           adjoint_max_steps=512, **adj_kw)[0][-1] ** 2
+        ))(params))[0]
+
+    flat_zero = grad_with(adjoint_atol=0.0, adjoint_rtol=1e-6)
+    assert np.all(np.isnan(np.asarray(flat_zero))), "failure must be loud"
+
+    # The same override with a positive atol succeeds — proving the 0.0 was
+    # actually honoured rather than replaced by the forward value.
+    flat_pos = grad_with(adjoint_atol=1e-9, adjoint_rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(flat_pos)))
