@@ -108,6 +108,8 @@ def main(argv=None):
     feats_parts, nfe_parts, label_parts = [], [], []
     for img, lab, valid in batches.padded_batches():
         f, nfe = jax.device_get(extract_batch(params, img))
+        if nfe.shape[0] != valid.shape[0]:  # global error control: (1,) NFE
+            nfe = np.broadcast_to(nfe, valid.shape)
         f, nfe, lab = f[:, valid], nfe[valid], lab[valid]
         feats_parts.append(np.asarray(f, np.float32))
         nfe_parts.append(np.asarray(nfe, np.int32))

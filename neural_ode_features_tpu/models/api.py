@@ -5,7 +5,10 @@ The reference exposes its models as classes (reference: model.py ``ODENet``/
 it can keep that shape.  These are thin immutable wrappers over the
 functional core (explicit param pytrees + pure apply functions) — the
 instances just pair ``(params, config)`` and stay fully compatible with
-``jax.jit``/``grad`` through their pure methods.
+``jax.jit`` through their pure methods.  For ``jax.grad`` through an ODE
+solve, construct the config with ``adjoint=True`` (the plain forward uses a
+``lax.while_loop``, which is not reverse-differentiable; the adjoint path
+is, by construction).
 """
 
 from __future__ import annotations
@@ -56,14 +59,17 @@ class ODEBlock:
         self.config = config
 
     def __call__(self, h0: jnp.ndarray, ts=None):
+        """``ts=None`` (the reference's default [0,1] span) returns the final
+        state h(1); an explicit ``ts`` — of any length, including 2 — always
+        returns the full (T, B, H, W, C) trajectory."""
         from .odenet import _solve
 
         cfg = self.config
-        ts = jnp.asarray([0.0, 1.0] if ts is None else ts, h0.dtype)
+        final_only = ts is None
+        ts = jnp.asarray([0.0, 1.0] if final_only else ts, h0.dtype)
         traj, stats = _solve({"odefunc": self.params}, h0, ts, cfg,
                              adjoint=False)
-        return (traj[-1] if traj.shape[0] == 2 and ts.shape[0] == 2 else traj,
-                stats)
+        return (traj[-1] if final_only else traj), stats
 
 
 class ResNet:

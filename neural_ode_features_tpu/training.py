@@ -281,7 +281,7 @@ class Trainer:
         return jax.device_get(metrics)
 
     # -- fused eval: whole test set in one dispatch ---------------------------
-    def _eval_fused_impl(self, params, images, labels, idx):
+    def _eval_fused_impl(self, params, images, labels, valid, idx):
         from .parallel import data_sharding
 
         dsh = data_sharding(self.mesh)
@@ -289,56 +289,73 @@ class Trainer:
         def step(carry, batch_idx):
             img = jax.lax.with_sharding_constraint(images[batch_idx], dsh)
             lab = jax.lax.with_sharding_constraint(labels[batch_idx], dsh)
+            v = jax.lax.with_sharding_constraint(
+                valid[batch_idx], dsh
+            ).astype(jnp.float32)
             x = self._preprocess(img, None, train=False)
             cfg = self.model_cfg
             if self.cfg.model == "odenet":
                 logits, stats = odenet_logits(params, x, cfg, adjoint=False)
-                nfe = jnp.mean(stats.nfe.astype(jnp.float32))
+                nfe = jnp.sum(stats.nfe.astype(jnp.float32) * v) if (
+                    stats.nfe.shape[0] == v.shape[0]
+                ) else stats.nfe.astype(jnp.float32)[0] * jnp.sum(v)
             else:
                 logits = resnet_logits(params, x, cfg)
                 nfe = jnp.zeros(())
             correct = jnp.sum(
-                (jnp.argmax(logits, -1) == lab).astype(jnp.float32)
+                (jnp.argmax(logits, -1) == lab).astype(jnp.float32) * v
             )
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, lab)
-            return carry, {"correct": correct, "loss": jnp.sum(ce),
+            return carry, {"correct": correct, "loss": jnp.sum(ce * v),
                            "nfe": nfe}
 
         _, m = jax.lax.scan(step, None, idx)
         return m
 
     def evaluate_fused(self, images_u8, labels) -> dict[str, float]:
-        """Evaluate the whole (batch-size-truncated) set in ONE dispatch;
-        numerically identical to :meth:`evaluate` on the covered samples."""
+        """Evaluate the whole set in ONE dispatch, exactly: the tail batch is
+        zero-padded and masked, so coverage equals :meth:`evaluate`."""
         from .parallel import replicate
 
         rep = replicate(self.mesh)
         if not hasattr(self, "_eval_fused"):
             self._eval_fused = jax.jit(
                 self._eval_fused_impl,
-                in_shardings=(rep, rep, rep, rep),
+                in_shardings=(rep, rep, rep, rep, rep),
                 out_shardings=rep,
             )
             self._eval_staged = None
-        key = (id(images_u8), len(images_u8))
+        bs = self.cfg.batch_size
+        n = len(images_u8)
+        n_pad = (-n) % bs
+        key = (id(images_u8), n)
         if self._eval_staged is None or self._eval_staged[0] != key:
+            img = np.concatenate(
+                [images_u8,
+                 np.zeros((n_pad,) + images_u8.shape[1:], images_u8.dtype)]
+            ) if n_pad else images_u8
+            lab = np.concatenate(
+                [labels.astype(np.int32), np.zeros(n_pad, np.int32)]
+            ) if n_pad else labels.astype(np.int32)
+            val = np.concatenate([np.ones(n, bool), np.zeros(n_pad, bool)])
             self._eval_staged = (
                 key,
-                jax.device_put(images_u8, rep),
-                jax.device_put(labels.astype(np.int32), rep),
+                jax.device_put(img, rep),
+                jax.device_put(lab, rep),
+                jax.device_put(val, rep),
             )
-        _, img_dev, lab_dev = self._eval_staged
+        _, img_dev, lab_dev, val_dev = self._eval_staged
 
-        bs = self.cfg.batch_size
-        n = (len(images_u8) // bs) * bs
         idx = jax.device_put(
-            np.arange(n, dtype=np.int32).reshape(-1, bs), rep
+            np.arange(n + n_pad, dtype=np.int32).reshape(-1, bs), rep
         )
-        m = jax.device_get(self._eval_fused(self.params, img_dev, lab_dev, idx))
+        m = jax.device_get(
+            self._eval_fused(self.params, img_dev, lab_dev, val_dev, idx)
+        )
         return {
             "acc": float(np.sum(m["correct"])) / n,
             "loss": float(np.sum(m["loss"])) / n,
-            "nfe": float(np.mean(m["nfe"])),
+            "nfe": float(np.sum(m["nfe"])) / n,
         }
 
     # -- resume ----------------------------------------------------------------

@@ -8,20 +8,30 @@ the documented name map below plus :func:`to_torch_state_dict` /
 :func:`from_torch_state_dict`, which make checkpoints convertible in both
 directions (torch itself is only imported inside the converter helpers).
 
-Name map (ours → torch-style reference names, layout conversions applied):
+Two torch naming styles are supported (``style=`` on both converters):
 
-  stem/conv0/kernel        downsampling_layers.0.weight       HWIO→OIHW
-  stem/norm1/{scale,bias}  downsampling_layers.1.{weight,bias}
-  stem/conv1/kernel        downsampling_layers.3.weight       HWIO→OIHW
-  stem/norm2/{scale,bias}  downsampling_layers.4.{weight,bias}
-  stem/conv2/kernel        downsampling_layers.6.weight       HWIO→OIHW
-  odefunc/norm1/…          feature_layers.0.odefunc.norm1.…
-  odefunc/conv1/kernel     feature_layers.0.odefunc.conv1._layer.weight
-  … (conv biases map to the same prefix + '.bias')
-  head/norm/{scale,bias}   fc_layers.0.{weight,bias}
-  head/fc/{kernel,bias}    fc_layers.4.{weight,bias}          DIO→OI (transpose)
+``'internal'`` (default, canonical): our dotted module paths —
+``stem.conv0.weight``, ``odefunc.conv1.weight``, ``head.fc.weight`` … —
+with torch tensor layouts (OIHW convs, (out,in) linears).  This is what the
+torch oracle consumes and what round-trips exactly.
 
-ResNet blocks: blocks[k]/… ↔ feature_layers.<k>.…
+``'reference'``: best-effort translation to the reference repo's presumed
+``state_dict`` names (layout conversions identical):
+
+  stem.conv0           downsampling_layers.0
+  stem.norm1           downsampling_layers.1
+  stem.conv1           downsampling_layers.3
+  stem.norm2           downsampling_layers.4
+  stem.conv2           downsampling_layers.6
+  odefunc.normK        feature_layers.0.odefunc.normK
+  odefunc.convK        feature_layers.0.odefunc.convK._layer
+  head.norm            fc_layers.0
+  head.fc              fc_layers.4
+  blocks.K.*           feature_layers.K.*            (ResNet)
+
+The reference layout is UNVERIFIED (empty mount, SURVEY.md §0) — the table
+encodes the Chen-et-al. nn.Sequential structure the repo copies; adjust the
+prefix map below if a real checkpoint ever disagrees.
 """
 
 from __future__ import annotations
@@ -89,6 +99,33 @@ def _flatten(params: Any, prefix="") -> dict[str, np.ndarray]:
     return out
 
 
+# internal dotted prefix → reference-style prefix ('reference' naming style).
+_REFERENCE_PREFIX = {
+    "stem.conv0": "downsampling_layers.0",
+    "stem.norm1": "downsampling_layers.1",
+    "stem.conv1": "downsampling_layers.3",
+    "stem.norm2": "downsampling_layers.4",
+    "stem.conv2": "downsampling_layers.6",
+    "odefunc.norm1": "feature_layers.0.odefunc.norm1",
+    "odefunc.conv1": "feature_layers.0.odefunc.conv1._layer",
+    "odefunc.norm2": "feature_layers.0.odefunc.norm2",
+    "odefunc.conv2": "feature_layers.0.odefunc.conv2._layer",
+    "odefunc.norm3": "feature_layers.0.odefunc.norm3",
+    "head.norm": "fc_layers.0",
+    "head.fc": "fc_layers.4",
+}
+
+
+def _style_prefix(prefix: str, style: str) -> str:
+    if style == "internal":
+        return prefix
+    if prefix in _REFERENCE_PREFIX:
+        return _REFERENCE_PREFIX[prefix]
+    if prefix.startswith("blocks."):  # ResNet blocks.K.sub → feature_layers.K.sub
+        return "feature_layers." + prefix[len("blocks."):]
+    return prefix
+
+
 def _to_torch_name_and_layout(name: str, arr: np.ndarray):
     """Map 'stem/conv0/kernel' style names to torch-style dotted names with
     torch tensor layouts (OIHW convs, (out,in) linears)."""
@@ -104,25 +141,31 @@ def _to_torch_name_and_layout(name: str, arr: np.ndarray):
     return f"{tname}.{leaf}", arr
 
 
-def to_torch_state_dict(params: Any) -> dict[str, np.ndarray]:
+def to_torch_state_dict(params: Any, style: str = "internal") -> dict[str, np.ndarray]:
     """Export params as a torch-convention state dict (numpy values; wrap
-    with ``torch.from_numpy`` to feed a torch model)."""
+    with ``torch.from_numpy`` to feed a torch model).  ``style``: 'internal'
+    (canonical) or 'reference' (see module docstring)."""
     out = {}
     for name, arr in _flatten(params).items():
         tname, tarr = _to_torch_name_and_layout(name, arr)
-        out[tname] = np.ascontiguousarray(tarr)
+        prefix, leaf = tname.rsplit(".", 1)
+        out[f"{_style_prefix(prefix, style)}.{leaf}"] = np.ascontiguousarray(tarr)
     return out
 
 
 def from_torch_state_dict(template: Any, state: dict[str, np.ndarray]) -> Any:
     """Inverse of :func:`to_torch_state_dict`: fill a params template from a
-    torch-convention dict (accepts torch tensors or numpy arrays)."""
+    torch-convention dict (accepts torch tensors or numpy arrays, in either
+    'internal' or 'reference' naming style)."""
 
     def _get(name, like):
         parts = name.split("/")
         leaf = parts[-1]
         tname = ".".join(parts[:-1])
-        key = f"{tname}.weight" if leaf in ("kernel", "scale") else f"{tname}.{leaf}"
+        tleaf = "weight" if leaf in ("kernel", "scale") else leaf
+        key = f"{tname}.{tleaf}"
+        if key not in state:  # accept reference-style names transparently
+            key = f"{_style_prefix(tname, 'reference')}.{tleaf}"
         arr = state[key]
         arr = np.asarray(arr.detach().cpu() if hasattr(arr, "detach") else arr)
         if leaf == "kernel":

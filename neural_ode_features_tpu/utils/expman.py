@@ -10,6 +10,7 @@ and an appendable ``log.csv``.
 from __future__ import annotations
 
 import csv
+import hashlib
 import json
 import re
 from pathlib import Path
@@ -50,12 +51,31 @@ class Experiment:
     @staticmethod
     def name_from_params(params: dict) -> str:
         items = sorted(params.items())
-        return "-".join(f"{_abbrev(k)}_{_fmt(v)}" for k, v in items)[:200]
+        name = "-".join(f"{_abbrev(k)}_{_fmt(v)}" for k, v in items)
+        if len(name) > 200:
+            # Truncation alone made distinct experiments collide (the cut
+            # tail held seed/tol/model for the default train.py params) and
+            # silently cross-resume each other's state — disambiguate with a
+            # digest of the full parameter string.
+            digest = hashlib.sha1(name.encode()).hexdigest()[:12]
+            name = f"{name[:186]}-{digest}"
+        return name
 
     # -- lifecycle -----------------------------------------------------------
     def create(self) -> "Experiment":
         self.path.mkdir(parents=True, exist_ok=True)
-        with open(self.path / self.PARAMS_FILE, "w") as f:
+        params_file = self.path / self.PARAMS_FILE
+        if params_file.exists():
+            existing = json.loads(params_file.read_text())
+            rendered = json.loads(
+                json.dumps(self.params, sort_keys=True, default=str)
+            )
+            if existing != rendered:
+                raise ValueError(
+                    f"run dir {self.path} already holds a DIFFERENT experiment"
+                    " (params.json mismatch) — refusing to overwrite/resume it"
+                )
+        with open(params_file, "w") as f:
             json.dump(self.params, f, indent=2, sort_keys=True, default=str)
         return self
 

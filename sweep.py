@@ -77,6 +77,7 @@ def main(argv=None):
         from neural_ode_features_tpu.ops.preprocess import normalize
 
         images, labels = load_dataset(dataset, "test", limit=args.limit)
+        args.batch_size = min(args.batch_size, len(images))
         n = (len(images) // args.batch_size) * args.batch_size
         images, labels = images[:n], labels[:n]
     else:
@@ -91,6 +92,9 @@ def main(argv=None):
             error_control=args.error_control,
             compute_dtype="bfloat16" if args.bf16 else cfg0.compute_dtype,
             use_pallas=args.pallas,
+            # Inference sweep: never route through the adjoint path (it would
+            # force-disable the Pallas kernel and is slower for forward-only).
+            adjoint=False,
         )
 
         if images is not None:
@@ -103,6 +107,12 @@ def main(argv=None):
                 )
                 return correct, stats.nfe
 
+            # Compile outside the timed region (first TPU compile is
+            # minutes on this machine's tunnel).
+            acc_fn(params,
+                   jnp.asarray(images[: args.batch_size]),
+                   jnp.asarray(labels[: args.batch_size].astype(np.int32)),
+                   )[0].block_until_ready()
             correct = 0.0
             nfes = []
             t0 = time.perf_counter()

@@ -85,3 +85,46 @@ def test_expman_run_dirs(tmp_path):
     # reload params from dir
     e4 = Experiment.from_dir(e1.path)
     assert e4.params["dataset"] == "mnist"
+
+
+def test_expman_long_names_do_not_collide(tmp_path):
+    """Regression (code review): >200-char names were truncated and distinct
+    experiments (e.g. differing only in seed) collided into one dir."""
+    base = {f"param_with_a_rather_long_name_{i}": i for i in range(12)}
+    e0 = Experiment(tmp_path, {**base, "seed": 0})
+    e1 = Experiment(tmp_path, {**base, "seed": 1})
+    assert e0.path != e1.path
+    assert len(e0.name) <= 200
+
+
+def test_expman_refuses_foreign_rundir(tmp_path):
+    """create() must not silently adopt a dir holding different params."""
+    p = {"a": 1}
+    e0 = Experiment(tmp_path, p, name="fixed").create()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="DIFFERENT"):
+        Experiment(tmp_path, {"a": 2}, name="fixed").create()
+    # identical params are fine (resume)
+    Experiment(tmp_path, p, name="fixed").create()
+
+
+def test_reference_style_torch_names():
+    """Regression (code review): the documented reference-style name map is
+    now actually implemented, both directions."""
+    cfg = ModelConfig(in_channels=1)
+    params = init_odenet(jax.random.PRNGKey(5), cfg)
+    sd = to_torch_state_dict(params, style="reference")
+    assert "downsampling_layers.0.weight" in sd
+    assert "feature_layers.0.odefunc.conv1._layer.weight" in sd
+    assert "fc_layers.4.weight" in sd and sd["fc_layers.4.weight"].shape == (10, 64)
+    back = from_torch_state_dict(params, sd)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resnet block prefixes
+    pr = init_resnet(jax.random.PRNGKey(6), cfg)
+    sdr = to_torch_state_dict(pr, style="reference")
+    assert "feature_layers.0.conv1.weight" in sdr
+    back_r = from_torch_state_dict(pr, sdr)
+    for a, b in zip(jax.tree.leaves(pr), jax.tree.leaves(back_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

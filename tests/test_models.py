@@ -151,3 +151,18 @@ def test_object_api():
     res = ResNet.create(jax.random.PRNGKey(1), in_channels=1)
     assert res(x).shape == (2, 10)
     assert res.features(x).shape == (7, 2, 64)
+
+
+def test_odeblock_explicit_two_point_ts_returns_trajectory():
+    """Regression (code review): an explicit 2-element ts used to collapse to
+    the final state; explicit grids always return the full trajectory."""
+    from neural_ode_features_tpu.models import ODEBlock, ODENet
+    from neural_ode_features_tpu.models.common import stem_apply
+
+    net = ODENet.create(jax.random.PRNGKey(0), in_channels=1, tol=1e-2)
+    h0 = stem_apply(net.params["stem"], _x(CFG_MNIST), net.config)
+    blk = ODEBlock(net.params["odefunc"], net.config)
+    traj, _ = blk(h0, ts=jnp.asarray([0.0, 0.5]))
+    assert traj.shape == (2,) + h0.shape
+    final, _ = blk(h0)
+    assert final.shape == h0.shape

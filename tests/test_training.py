@@ -103,3 +103,17 @@ def test_evaluate_fused_matches_per_batch(tiny_data):
     assert abs(ev_f["acc"] - ev_b["acc"]) < 1e-6
     assert abs(ev_f["loss"] - ev_b["loss"]) < 1e-5
     assert abs(ev_f["nfe"] - ev_b["nfe"]) < 0.5
+
+
+def test_evaluate_fused_covers_tail(tiny_data):
+    """Regression (code review): fused eval silently truncated to a batch
+    multiple; it must now cover every sample (padded+masked tail)."""
+    x, y = tiny_data
+    cfg = _cfg(batch_size=48)  # 64 samples -> one full + one 16-sample tail
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    ev_f = trainer.evaluate_fused(x, y)
+    ev_b = trainer.evaluate(
+        Batches(x, y, 48, shuffle=False, drop_remainder=False)
+    )
+    assert abs(ev_f["acc"] - ev_b["acc"]) < 1e-6
+    assert abs(ev_f["loss"] - ev_b["loss"]) < 1e-5

@@ -196,6 +196,9 @@ def main(argv=None):
                 tr_count += len(labels)
         train_time = time.time() - t0
 
+        # Fixed column schema: eval columns are always present (blank when
+        # the epoch is not evaluated) so log.csv headers stay aligned for
+        # any --eval-every.
         row = {
             "epoch": epoch,
             "train_loss": round(loss_m.avg, 6),
@@ -203,6 +206,9 @@ def main(argv=None):
             "nfe_f": round(nfe_m.avg, 2),
             "nfe_b": round(nfe_b_box["sum"] / max(nfe_b_box["n"], 1), 2),
             "time_s": round(train_time, 2),
+            "test_loss": "",
+            "test_acc": "",
+            "test_nfe": "",
         }
 
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
