@@ -32,6 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--method", default="dopri5",
+                   help="adaptive solver (dopri5/tsit5/bosh3/adams/...)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 dynamics (default f32 for NFE parity)")
     p.add_argument("--pallas", action="store_true",
@@ -61,6 +63,7 @@ def main(argv=None):
     cfg = ModelConfig(
         in_channels=3,
         tol=args.tol,
+        method=args.method,
         error_control="per_sample",
         compute_dtype="bfloat16" if args.bf16 else "float32",
         use_pallas=args.pallas,
@@ -150,6 +153,7 @@ def main(argv=None):
         "backend": jax.default_backend(),
         "compute_dtype": cfg.compute_dtype,
         "pallas": args.pallas,
+        "method": args.method,
     }
     print(json.dumps(result))
     return result

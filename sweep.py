@@ -34,6 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--limit", type=int, default=1024)
+    p.add_argument("--method", default=None,
+                   help="override the solver (default: checkpoint's)")
     p.add_argument("--error-control", default="per_sample",
                    choices=["per_sample", "global"])
     p.add_argument("--bf16", action="store_true")
@@ -89,6 +91,7 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg0,
             tol=tol,
+            method=args.method or cfg0.method,
             error_control=args.error_control,
             compute_dtype="bfloat16" if args.bf16 else cfg0.compute_dtype,
             use_pallas=args.pallas,
