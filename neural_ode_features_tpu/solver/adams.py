@@ -17,8 +17,11 @@ UNVERIFIED, empty mount, SURVEY.md §2.2), redesigned for one on-device
   * PECE: two dynamics evaluations per attempted step;
   * predictor–corrector difference (Milne device) as the error estimate —
     conservative w.r.t. the reference's estimator, same tolerance semantics;
-  * cubic-Hermite dense output per accepted step, same masked-write scheme
-    as the RK loop (N output times for one solve).
+  * *order-matched* dense output: requested times inside an accepted step
+    are evaluated with the corrector's own Lagrange interpolant
+    (∫₀ˣ weights), so interpolation is exact exactly when the step is —
+    a fixed lower-order Hermite diverged on polynomial dynamics where
+    near-zero error estimates let dt grow without bound.
 
 Order is fixed at ≤4 (the reference ramps 1–12); tolerance accuracy is
 unchanged — the solver just takes more, cheaper steps at very tight
@@ -35,12 +38,10 @@ from jax import lax
 
 from .runge_kutta import (
     SolveStats,
-    _dense_write,
     _error_ratio,
     _optimal_dt,
     _select_initial_step,
 )
-from .tableau import CUBIC_FIT
 
 __all__ = ["adams_odeint"]
 
@@ -62,19 +63,39 @@ class _Carry(NamedTuple):
     iters: jnp.ndarray
 
 
+def _lagrange_system(s: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Vᵀ for the Lagrange-weight moment system: a[j, i] = s_i^j, (B, k, k)."""
+    sk = s[:, :k]
+    powers = jnp.stack([sk**j for j in range(k)], axis=-1)
+    return jnp.swapaxes(powers, -1, -2)
+
+
 def _integration_weights(s: jnp.ndarray, k: int) -> jnp.ndarray:
     """Exact ∫₀¹ of the Lagrange interpolant through nodes at normalised
     positions ``s[..., :k]``: solve Vᵀ w = m with V[i,j] = s_i^j and moments
     m_j = 1/(j+1).  s: (B, K) → w: (B, k)."""
-    sk = s[:, :k]
-    powers = jnp.stack([sk**j for j in range(k)], axis=-1)  # (B, k, k): V^T rows
-    moments = jnp.asarray([1.0 / (j + 1) for j in range(k)], s.dtype)
-    # Solve V^T w = m  ⇔  powers^T ... careful: we need sum_i w_i s_i^j = m_j.
-    a = jnp.swapaxes(powers, -1, -2)  # (B, k, k): a[j, i] = s_i^j
-    b = jnp.broadcast_to(moments, sk.shape[:-1] + (k,))[..., None]
     if k == 1:
-        return jnp.ones_like(sk)
+        return jnp.ones_like(s[:, :1])
+    a = _lagrange_system(s, k)
+    moments = jnp.asarray([1.0 / (j + 1) for j in range(k)], s.dtype)
+    b = jnp.broadcast_to(moments, s.shape[:-1] + (k,))[..., None]
     return jnp.linalg.solve(a, b)[..., 0]  # (B, k)
+
+
+def _partial_integration_weights(s: jnp.ndarray, k: int, x: jnp.ndarray):
+    """∫₀ˣ of the Lagrange interpolant, for several upper limits at once:
+    moments m_j(x) = x^{j+1}/(j+1).  s: (B, K); x: (T, B) → (B, k, T).
+
+    This is the solver's *order-matched dense output*: interpolating y(x) as
+    y0 + dt·Σ w_i(x) f_i is exact exactly when the corrector step itself is
+    (e.g. polynomial dynamics), unlike a fixed cubic Hermite — which went
+    badly wrong when near-zero error estimates let dt grow without bound."""
+    a = _lagrange_system(s, k)  # (B, k, k)
+    x_t = jnp.moveaxis(x, 0, -1)  # (B, T)
+    b = jnp.stack(
+        [x_t ** (j + 1) / (j + 1) for j in range(k)], axis=-2
+    )  # (B, k, T)
+    return jnp.linalg.solve(a, b)  # (B, k, T)
 
 
 def _combine(weights, fs, k):
@@ -103,7 +124,6 @@ def adams_odeint(
     batch, n = y0.shape
     n_out = ts.shape[0]
     ts = ts.astype(dtype)
-    fit = jnp.asarray(CUBIC_FIT, dtype)
 
     direction = jnp.sign(ts[-1] - ts[0])
     t_final = ts[-1]
@@ -194,11 +214,30 @@ def adams_odeint(
             dt,
         )
 
-        # --- cubic-Hermite dense output on [t, t1] ---
-        data = jnp.stack(
-            [y, y_corr, dt_col * c.hist_f[:, 0], dt_col * f_new]
+        # --- order-matched Lagrange dense output on [t, t1] ---
+        # y(t + x·dt) = y + dt·Σ_i w_i(x) f_i over the corrector's nodes, at
+        # the corrector's own order — exact whenever the step is (fixed
+        # cubic Hermite silently diverged on polynomial dynamics where
+        # near-zero error estimates let dt grow without bound).
+        covered = (
+            accept[None, :]
+            & (direction * (ts[:, None] - t[None, :]) > 0.0)
+            & (direction * (ts[:, None] - t1[None, :]) <= 0.0)
         )
-        out = _dense_write(fit, data, ts, t, t1, dt, direction, accept, c.out)
+        x = jnp.clip((ts[:, None] - t[None, :]) / dt[None, :], 0.0, 1.0)
+        y_int = None
+        for k in range(2, _K + 1):
+            w_x = _partial_integration_weights(s_corr, k, x)  # (B, k, T)
+            cand = y[None] + dt_col[None] * jnp.einsum(
+                "bkt,bkn->tbn", w_x, f_corr_nodes[:, :k]
+            )
+            if y_int is None:
+                y_int = cand
+            else:
+                y_int = jnp.where(
+                    (c.nhist >= k - 1)[None, :, None], cand, y_int
+                )
+        out = jnp.where(covered[:, :, None], y_int, c.out)
 
         # --- masked history shift on accept ---
         acc_col = accept[:, None]

@@ -99,3 +99,21 @@ def test_adams_scan_mode_gradients_finite_f32():
     assert g.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(g))), g
     np.testing.assert_allclose(np.asarray(g), 2 * np.exp(-2.0), rtol=1e-3)
+
+
+def test_adams_polynomial_unbounded_step_edge():
+    """Regression: cubic dynamics make the k=4 predictor exact, so dt grows
+    without bound; the old cubic-Hermite dense output then silently returned
+    garbage (err ~0.2 with success=True). Order-matched Lagrange dense
+    output is exact here."""
+    def f(t, y):
+        t = jnp.asarray(t)
+        tt = t[..., None] if t.ndim else t
+        return jnp.broadcast_to(4.0 * tt**3, y.shape).astype(y.dtype)
+
+    ts = np.linspace(0.0, 2.0, 7)
+    ys, st = odeint(f, jnp.zeros((1, 1)), jnp.asarray(ts),
+                    rtol=1e-6, atol=1e-8, method="adams")
+    err = np.abs(np.asarray(ys)[:, 0, 0] - ts**4).max()
+    assert bool(np.all(st.success))
+    assert err < 1e-8, err

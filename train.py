@@ -162,6 +162,7 @@ def main(argv=None):
     loss_m, nfe_m = RunningAverageMeter(), RunningAverageMeter()
 
     profile_left = args.profile
+    profile_started = False
     step_idx = 0
     use_fused = args.fused_epoch and not args.profile
     for epoch in range(start_epoch, args.epochs):
@@ -182,13 +183,15 @@ def main(argv=None):
                 rng, sub = jax.random.split(rng)
                 if profile_left and step_idx == 2:  # skip compile steps
                     jax.profiler.start_trace(str(exp.file("profile")))
+                    profile_started = True
                 m = trainer.train_batch(images, labels, sub)
                 step_idx += 1
-                if profile_left and step_idx > 2:
+                if profile_started and profile_left and step_idx > 2:
                     profile_left -= 1
                     if profile_left == 0:
                         jax.tree.map(lambda a: a.block_until_ready(), m)
                         jax.profiler.stop_trace()
+                        profile_started = False
                         print(f"profile written to {exp.file('profile')}")
                 loss_m.update(float(m["loss"]))
                 nfe_m.update(float(m["nfe"]))
@@ -230,6 +233,9 @@ def main(argv=None):
         trainer.save_state(state_path)
         print(" | ".join(f"{k}={v}" for k, v in row.items()), flush=True)
 
+    if profile_started:  # run ended before N profiled steps completed
+        jax.profiler.stop_trace()
+        print(f"profile written to {exp.file('profile')} (short run)")
     save_checkpoint(exp.file("ckpt_last.msgpack"), trainer.params,
                     trainer.model_cfg,
                     extra={"epoch": args.epochs - 1, "test_acc": best_acc,
