@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--method", default="dopri5",
                    help="adaptive solver (dopri5/tsit5/bosh3/adams/...)")
+    p.add_argument("--run", default=None,
+                   help="benchmark a trained checkpoint (run dir or .msgpack)"
+                        " instead of the deterministic random init")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 dynamics (default f32 for NFE parity)")
     p.add_argument("--pallas", action="store_true",
@@ -60,18 +63,41 @@ def main(argv=None):
         odenet_logits,
     )
 
-    cfg = ModelConfig(
-        in_channels=3,
-        tol=args.tol,
-        method=args.method,
-        error_control="per_sample",
-        compute_dtype="bfloat16" if args.bf16 else "float32",
-        use_pallas=args.pallas,
-    )
-    params = init_odenet(jax.random.PRNGKey(7), cfg)
+    import dataclasses
+
+    if args.run:
+        from pathlib import Path
+
+        from neural_ode_features_tpu.utils import load_checkpoint
+
+        run = Path(args.run)
+        ckpt = run / "ckpt_best.msgpack" if run.is_dir() else run
+        params, cfg0, _ = load_checkpoint(ckpt)
+        cfg = dataclasses.replace(
+            cfg0,
+            tol=args.tol,
+            method=args.method,
+            error_control="per_sample",
+            adjoint=False,
+            compute_dtype="bfloat16" if args.bf16 else cfg0.compute_dtype,
+            use_pallas=args.pallas,
+        )
+    else:
+        cfg = ModelConfig(
+            in_channels=3,
+            tol=args.tol,
+            method=args.method,
+            error_control="per_sample",
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+            use_pallas=args.pallas,
+        )
+        params = init_odenet(jax.random.PRNGKey(7), cfg)
 
     rng = np.random.default_rng(0)
-    x_np = rng.normal(size=(args.batch_size, 32, 32, 3)).astype(np.float32)
+    side = 28 if cfg.in_channels == 1 else 32
+    x_np = rng.normal(
+        size=(args.batch_size, side, side, cfg.in_channels)
+    ).astype(np.float32)
     x = jnp.asarray(x_np)
 
     # The whole timing loop runs inside ONE jitted lax.scan dispatch: on this
@@ -126,7 +152,7 @@ def main(argv=None):
             )
 
             torch.set_num_threads(max(torch.get_num_threads(), 1))
-            tm = build_torch_odenet(in_channels=3)
+            tm = build_torch_odenet(in_channels=cfg.in_channels)
             load_jax_params_into_torch(tm, params)
             tm.eval()
             xc = torch.from_numpy(

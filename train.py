@@ -65,6 +65,9 @@ def parse_args(argv=None):
                    default=True,
                    help="ignore an existing train_state.msgpack in the run "
                         "dir (default: resume it, expman-style)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalars (clu.metric_writers)"
+                        " to <run_dir>/tb")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N train steps "
                         "(written to <run_dir>/profile)")
@@ -114,7 +117,7 @@ def main(argv=None):
 
     exp_params = {k: v for k, v in vars(args).items()
                   if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
-                               "profile", "resume")}
+                               "profile", "resume", "tensorboard")}
     exp = Experiment(args.runs_dir, exp_params).create()
     print(f"run dir: {exp.path}")
 
@@ -156,6 +159,12 @@ def main(argv=None):
             nfe_b_box["sum"] += float(nfe)
             nfe_b_box["n"] += 1
         set_backward_nfe_tap(_tap)
+
+    tb_writer = None
+    if args.tensorboard:
+        from clu import metric_writers
+
+        tb_writer = metric_writers.SummaryWriter(str(exp.file("tb")))
 
     rng = jax.random.PRNGKey(args.seed + 1)
     best_acc = resumed_best
@@ -230,6 +239,11 @@ def main(argv=None):
                                        "train": exp_params,
                                        "model": args.model})
         exp.log(row)
+        if tb_writer is not None:
+            tb_writer.write_scalars(
+                epoch, {k: float(v) for k, v in row.items()
+                        if k != "epoch" and v != ""}
+            )
         trainer.save_state(state_path)
         print(" | ".join(f"{k}={v}" for k, v in row.items()), flush=True)
 
