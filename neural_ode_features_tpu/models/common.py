@@ -61,21 +61,60 @@ class ModelConfig:
 
 
 def init_stem(key, cfg: ModelConfig):
-    """conv(in→h, 3×3, VALID) then 2 × [GN, ReLU, conv(h→h, 4×4, s2, p1)]:
-    28×28 → 6×6 (MNIST), 32×32 → 7×7 (CIFAR)."""
+    """Downsampling stem, 28×28 → 6×6 (MNIST) / 32×32 → 7×7 (CIFAR).
+
+    ``cfg.downsampling``:
+      * 'conv' (default): conv(in→h, 3×3, VALID) then
+        2 × [GN, ReLU, conv(h→h, 4×4, s2, p1)] — the Chen et al. default.
+      * 'res': conv(in→h, 3×3, VALID) then 2 × stride-2 residual blocks
+        (1×1 s2 shortcut) — the reference's --downsampling-method res
+        variant (reference: model.py / Chen et al. example — UNVERIFIED).
+    """
     h = cfg.hidden
-    ks = jax.random.split(key, 3)
-    return {
-        "conv0": init_conv(ks[0], 3, 3, cfg.in_channels, h),
-        "norm1": init_group_norm(h),
-        "conv1": init_conv(ks[1], 4, 4, h, h),
-        "norm2": init_group_norm(h),
-        "conv2": init_conv(ks[2], 4, 4, h, h),
-    }
+    if cfg.downsampling == "conv":
+        ks = jax.random.split(key, 3)
+        return {
+            "conv0": init_conv(ks[0], 3, 3, cfg.in_channels, h),
+            "norm1": init_group_norm(h),
+            "conv1": init_conv(ks[1], 4, 4, h, h),
+            "norm2": init_group_norm(h),
+            "conv2": init_conv(ks[2], 4, 4, h, h),
+        }
+    if cfg.downsampling == "res":
+        ks = jax.random.split(key, 7)
+        def res_block(k1, k2, k3):
+            return {
+                "norm1": init_group_norm(h),
+                "conv1": init_conv(k1, 3, 3, h, h),
+                "norm2": init_group_norm(h),
+                "conv2": init_conv(k2, 3, 3, h, h),
+                "shortcut": init_conv(k3, 1, 1, h, h),
+            }
+        return {
+            "conv0": init_conv(ks[0], 3, 3, cfg.in_channels, h),
+            "block1": res_block(ks[1], ks[2], ks[3]),
+            "block2": res_block(ks[4], ks[5], ks[6]),
+        }
+    raise ValueError(f"unknown downsampling {cfg.downsampling!r}")
+
+
+def _res_down_block(params, x, g):
+    """Stride-2 pre-activation residual block with a 1×1 s2 shortcut."""
+    out = jax.nn.relu(group_norm(params["norm1"], x, groups=g))
+    shortcut = conv2d(params["shortcut"], out, stride=2, padding="VALID")
+    out = conv2d(params["conv1"], out, stride=2, padding=1)
+    out = jax.nn.relu(group_norm(params["norm2"], out, groups=g))
+    out = conv2d(params["conv2"], out, padding=1)
+    return shortcut + out
 
 
 def stem_apply(params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     g = cfg.groups
+    if cfg.downsampling == "res":
+        x = conv2d(params["conv0"], x, padding="VALID")
+        x = _res_down_block(params["block1"], x, g)
+        x = _res_down_block(params["block2"], x, g)
+        return x
     x = conv2d(params["conv0"], x, padding="VALID")
     x = jax.nn.relu(group_norm(params["norm1"], x, groups=g))
     x = conv2d(params["conv1"], x, stride=2, padding=1)

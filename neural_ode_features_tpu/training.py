@@ -53,6 +53,7 @@ class TrainConfig:
     adjoint: bool = True
     adjoint_seminorm: bool = False
     error_control: str = "per_sample"
+    downsampling: str = "conv"
     epochs: int = 160
     batch_size: int = 128
     lr: float = 0.1
@@ -73,6 +74,7 @@ class TrainConfig:
             tol=self.tol,
             method=self.solver,
             error_control=self.error_control,
+            downsampling=self.downsampling,
             adjoint=self.adjoint,
             adjoint_seminorm=self.adjoint_seminorm,
             compute_dtype=self.compute_dtype,

@@ -166,3 +166,21 @@ def test_odeblock_explicit_two_point_ts_returns_trajectory():
     assert traj.shape == (2,) + h0.shape
     final, _ = blk(h0)
     assert final.shape == h0.shape
+
+
+def test_res_downsampling_stem():
+    """Reference parity: --downsampling-method res (stride-2 residual stem)."""
+    cfg = ModelConfig(in_channels=1, tol=1e-2, downsampling="res")
+    params = init_odenet(jax.random.PRNGKey(0), cfg)
+    logits, stats = odenet_logits(params, _x(cfg), cfg)
+    assert logits.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # 3x3 s2 residual blocks: 28 -> 26 -> 13 -> 7 (shortcut agrees)
+    from neural_ode_features_tpu.models.common import stem_apply
+    h = stem_apply(params["stem"], _x(cfg), cfg)
+    assert h.shape == (2, 7, 7, 64)
+    # CIFAR: 32 -> 30 -> 15 -> 8
+    cfg3 = ModelConfig(in_channels=3, tol=1e-2, downsampling="res")
+    p3 = init_odenet(jax.random.PRNGKey(1), cfg3)
+    h3 = stem_apply(p3["stem"], _x(cfg3), cfg3)
+    assert h3.shape == (2, 8, 8, 64)

@@ -36,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--adjoint-seminorm", action="store_true",
                    help="seminorm backward error control (Kidger et al. "
                         "2020): fewer backward NFE, same gradient quality")
+    p.add_argument("--downsampling", default="conv", choices=["conv", "res"],
+                   help="stem variant (Chen et al. --downsampling-method)")
     p.add_argument("--error-control", default="per_sample",
                    choices=["per_sample", "global"])
     p.add_argument("--epochs", type=int, default=160)
@@ -100,6 +102,7 @@ def main(argv=None):
         adjoint=args.adjoint,
         adjoint_seminorm=args.adjoint_seminorm,
         error_control=args.error_control,
+        downsampling=args.downsampling,
         epochs=args.epochs,
         batch_size=args.batch_size,
         lr=args.lr,
