@@ -78,6 +78,11 @@ def evaluate_features(
         rng = np.random.default_rng(seed)
         idx = rng.permutation(len(test_feats))
         cut = int(len(idx) * probe_split)
+        if cut < 2 or len(idx) - cut < 1:
+            raise ValueError(
+                f"too few samples ({len(idx)}) for a {probe_split:.0%} "
+                "self-split probe — pass explicit train features or more data"
+            )
         train_feats, train_labels = test_feats[idx[:cut]], test_labels[idx[:cut]]
         test_feats_p, test_labels_p = test_feats[idx[cut:]], test_labels[idx[cut:]]
     else:

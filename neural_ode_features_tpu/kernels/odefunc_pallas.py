@@ -55,18 +55,20 @@ def _group_norm_in_kernel(h, scale, bias, groups, eps=1e-5):
 
     h32 = h.astype(jnp.float32)
     s_c = jnp.sum(h32, axis=(1, 2))  # (TB, C)
-    s2_c = jnp.sum(h32 * h32, axis=(1, 2))
     s_g = jnp.dot(s_c, assign, preferred_element_type=jnp.float32)  # (TB, G)
-    s2_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32)
     mean_g = s_g / n
-    var_g = s2_g / n - mean_g * mean_g
+    # Centered variance (matches jnp.var): the one-pass E[x²]−E[x]² form
+    # cancels catastrophically in fp32 when |mean| ≫ std and can round
+    # negative, turning rsqrt into NaN.
+    mean_bc = jnp.dot(mean_g, assign.T, preferred_element_type=jnp.float32)
+    d = h32 - mean_bc[:, None, None, :]
+    s2_c = jnp.sum(d * d, axis=(1, 2))
+    var_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32) / n
     inv_g = jax.lax.rsqrt(var_g + eps)  # (TB, G)
 
     # Broadcast group stats back to channels: (TB, G) @ (G, C).
     inv_c = jnp.dot(inv_g, assign.T, preferred_element_type=jnp.float32)
-    mean_c = jnp.dot(mean_g * inv_g, assign.T,
-                     preferred_element_type=jnp.float32)
-    out = h32 * inv_c[:, None, None, :] - mean_c[:, None, None, :]
+    out = d * inv_c[:, None, None, :]
     return out * scale + bias
 
 
@@ -113,13 +115,31 @@ def _odefunc_kernel(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _pick_tile(b: int, hh: int, ww: int, c: int) -> int:
+    """Largest batch tile ≤64 dividing B whose working set fits a VMEM
+    budget (input + concat + padded copy + fp32 accumulator ≈ 6 copies)."""
+    tb = min(64, b)
+    while b % tb:
+        tb -= 1
+    budget = 6 * 1024 * 1024  # leave headroom below ~16 MiB VMEM
+    while tb > 1 and 6 * tb * (hh + 2) * (ww + 2) * (c + 1) * 4 > budget:
+        tb = max(1, tb // 2)
+        while b % tb:
+            tb -= 1
+    return tb
+
+
 def pallas_supported(h: jnp.ndarray, groups: int) -> bool:
     """The kernel covers the reference architecture family: NHWC maps with
-    channels divisible by groups and modest spatial dims (fit in VMEM)."""
+    channels divisible by groups and a batch tile whose working set fits in
+    VMEM (the tile shrinks automatically; reject only if even tb=1 would
+    blow the budget)."""
     if h.ndim != 4:
         return False
-    _, hh, ww, c = h.shape
-    return c % groups == 0 and hh * ww <= 1024 and c <= 512
+    b, hh, ww, c = h.shape
+    if c % groups or c > 512:
+        return False
+    return 6 * (hh + 2) * (ww + 2) * (c + 1) * 4 <= 6 * 1024 * 1024
 
 
 def odefunc_pallas(
@@ -145,16 +165,14 @@ def _odefunc_pallas(
     t = jnp.broadcast_to(jnp.asarray(t, h.dtype).reshape(-1), (b,))
     t_col = t[:, None]
 
-    # Batch tile: biggest power-of-two ≤ 64 dividing B (grid covers B).
-    tb = min(64, b)
-    while b % tb:
-        tb //= 2
+    # Batch tile: largest divisor of B ≤ 64 whose working set fits VMEM.
+    tb = _pick_tile(b, hh, ww, c)
     grid = (b // tb,)
 
     w1 = params["conv1"]["kernel"].astype(jnp.float32)
     w2 = params["conv2"]["kernel"].astype(jnp.float32)
 
-    def block(i):
+    def block():
         return pl.BlockSpec(
             (tb, hh, ww, c), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
         )
@@ -167,12 +185,12 @@ def _odefunc_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            block(0),
+            block(),
             full(), full(), full(), full(),
             full(), full(), full(), full(),
             full(), full(),
         ],
-        out_specs=block(0),
+        out_specs=block(),
         interpret=interpret,
     )(
         t_col, h,

@@ -177,6 +177,12 @@ def load_jax_params_into_torch(torch_model, jax_params):
 
     from ..utils.checkpoint import to_torch_state_dict
 
+    if "block1" in jax_params.get("stem", {}):
+        raise ValueError(
+            "the torch oracle only implements the 'conv' downsampling stem; "
+            "checkpoints trained with --downsampling res cannot be loaded "
+            "into it (use --skip-baseline or a conv-stem checkpoint)"
+        )
     sd = to_torch_state_dict(jax_params)
     name_map = {
         "stem.conv0": "conv0", "stem.norm1": "norm1", "stem.conv1": "conv1",

@@ -42,8 +42,9 @@ def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
-    """Device-put host arrays with the batch axis sharded over the mesh."""
+def shard_batch(mesh: Mesh, *arrays, axis: str = "data") -> tuple:
+    """Device-put host arrays with the batch axis sharded over the mesh.
+    Always returns a tuple (even for one array) — arity-dependent return
+    shapes are a footgun."""
     sh = data_sharding(mesh, axis)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
-    return out if len(out) > 1 else out[0]
+    return tuple(jax.device_put(a, sh) for a in arrays)

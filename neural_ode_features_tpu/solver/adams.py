@@ -132,7 +132,9 @@ def adams_odeint(
     f0 = func(t0, y0)
     nfe0 = jnp.ones((batch,), jnp.int32)
     if first_step is None:
-        dt0 = _select_initial_step(func, t0, y0, f0, direction, rtol, atol, 3)
+        # The ramp starts at order ~1-2; size the Hairer step for that, not
+        # for the steady-state order (avoids guaranteed start-up rejections).
+        dt0 = _select_initial_step(func, t0, y0, f0, direction, rtol, atol, 1)
         nfe0 = nfe0 + 1
     else:
         dt0 = jnp.full((batch,), first_step, dtype) * direction
@@ -205,9 +207,10 @@ def adams_odeint(
         err = y_corr - y_pred
         ratio = _error_ratio(err, y, y_corr, rtol, atol, error_mask)
         accept = (ratio <= 1.0) & active
-        # Effective corrector order during the 1-2-3-4 ramp drives the
-        # controller exponent (broadcasts as a per-sample array).
-        order = jnp.minimum(c.nhist + 1, _K).astype(dtype)
+        # Controller exponent = the power the Milne error estimate scales
+        # with: the predictor's local error order, k+1 (so 5 at full
+        # history, matching how the RK path passes its estimate order).
+        order = jnp.minimum(c.nhist + 1, _K + 1).astype(dtype)
         new_dt = jnp.where(
             active,
             _optimal_dt(dt, ratio, accept, order, safety, ifactor, dfactor),

@@ -117,3 +117,14 @@ def test_evaluate_fused_covers_tail(tiny_data):
     )
     assert abs(ev_f["acc"] - ev_b["acc"]) < 1e-6
     assert abs(ev_f["loss"] - ev_b["loss"]) < 1e-5
+
+
+def test_shard_batch_returns_tuple():
+    from neural_ode_features_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    (a,) = shard_batch(mesh, np.zeros((16, 2), np.float32))
+    assert a.shape == (16, 2)
+    a, b = shard_batch(mesh, np.zeros((16, 2), np.float32),
+                       np.zeros(16, np.int32))
+    assert b.shape == (16,)
