@@ -275,8 +275,9 @@ def adams_odeint(
         final = lax.while_loop(
             lambda c: (~jnp.all(c.done)) & (c.iters < max_steps), body, carry0
         )
-    elif unroll == "scan":
-        final, _ = lax.scan(lambda c, _: (body(c), None), carry0, None,
+    elif unroll in ("scan", "scan_remat"):
+        body_fn = jax.checkpoint(body) if unroll == "scan_remat" else body
+        final, _ = lax.scan(lambda c, _: (body_fn(c), None), carry0, None,
                             length=max_steps)
     else:
         raise ValueError(f"unknown unroll mode {unroll!r}")

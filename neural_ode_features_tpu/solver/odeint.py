@@ -71,8 +71,10 @@ def odeint(
       error_control: ``'global'`` | ``'per_sample'`` (see module docstring).
       max_steps: bound on adaptive loop iterations.
       first_step: optional fixed initial step size (adaptive methods).
-      unroll: ``'while'`` (fast, on-device early exit) or ``'scan'``
-        (reverse-differentiable; use small ``max_steps``).
+      unroll: ``'while'`` (fast, on-device early exit), ``'scan'``
+        (reverse-differentiable; use small ``max_steps``), or
+        ``'scan_remat'`` (reverse-differentiable with a rematerialised body:
+        backward memory ~O(steps·state) instead of O(steps·intermediates)).
       steps_per_interval: substeps per ``ts`` interval (fixed-grid methods).
       error_mask: optional pytree like ``y0`` with 0/1 leaves — adaptive error
         control restricted to the selected state entries (seminorm control;

@@ -341,9 +341,17 @@ def adaptive_odeint(
             return (~jnp.all(c.done)) & (c.iters < max_steps)
 
         final = lax.while_loop(cond, body, carry0)
-    elif unroll == "scan":
+    elif unroll in ("scan", "scan_remat"):
+        # 'scan' is reverse-differentiable but stores every intermediate of
+        # every iteration; 'scan_remat' checkpoints the body so the backward
+        # pass stores only the carry per step and recomputes the rest —
+        # memory ~O(max_steps·|carry|) instead of O(max_steps·|all
+        # intermediates|), at ~2x forward recompute (the practical way to
+        # run the reference's direct-backprop training semantics at size).
+        body_fn = jax.checkpoint(body) if unroll == "scan_remat" else body
+
         def scan_body(c, _):
-            return body(c), None
+            return body_fn(c), None
 
         final, _ = lax.scan(scan_body, carry0, None, length=max_steps)
     else:

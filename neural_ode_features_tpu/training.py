@@ -110,7 +110,7 @@ def _direct_diff_logits(params, x, cfg: ModelConfig):
         method=cfg.method,
         error_control=cfg.error_control,
         max_steps=cfg.max_steps,
-        unroll="scan",
+        unroll="scan_remat",
     )
     return head_apply(params["head"], traj[-1], cfg), stats
 

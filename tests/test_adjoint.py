@@ -167,3 +167,22 @@ def test_adjoint_explicit_zero_atol_respected(setup):
     # actually honoured rather than replaced by the forward value.
     flat_pos = grad_with(adjoint_atol=1e-9, adjoint_rtol=1e-6)
     assert np.all(np.isfinite(np.asarray(flat_pos)))
+
+
+def test_scan_remat_matches_scan_gradients(setup):
+    """'scan_remat' (checkpointed body) must give the same values and
+    gradients as plain 'scan' — only the memory/recompute trade-off differs."""
+    params, y0, ts = setup
+
+    def loss(p, mode):
+        ys, _ = odeint(lambda t, y: _dynamics(p, t, y), y0, ts,
+                       unroll=mode, max_steps=128, **TOL)
+        return jnp.sum(ys**2)
+
+    for mode_pair in [("scan", "scan_remat")]:
+        va, ga = jax.value_and_grad(lambda p: loss(p, mode_pair[0]))(params)
+        vb, gb = jax.value_and_grad(lambda p: loss(p, mode_pair[1]))(params)
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-12)
+        fa = jax.flatten_util.ravel_pytree(ga)[0]
+        fb = jax.flatten_util.ravel_pytree(gb)[0]
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=1e-9)

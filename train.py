@@ -50,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", dest="augment", action="store_false",
                    default=True)
+    p.add_argument("--max-steps", type=int, default=1024,
+                   help="solver iteration bound; with --no-adjoint the "
+                        "scan-unrolled solve runs EXACTLY this many "
+                        "iterations (no early exit) - set to ~3x the "
+                        "expected accepted steps (e.g. 64 at tol 1e-2/1e-3)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 dynamics compute (solver control stays f32)")
     p.add_argument("--num-devices", type=int, default=None,
@@ -116,6 +121,7 @@ def main(argv=None):
         augment=args.augment,
         num_devices=args.num_devices,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        max_steps=args.max_steps,
     )
 
     exp_params = {k: v for k, v in vars(args).items()
