@@ -221,8 +221,6 @@ class Trainer:
     # epoch.  (The reference pays a DataLoader + kernel-launch round trip per
     # batch; on this machine's tunneled TPU a dispatch alone costs ~0.6 s.)
     def _train_epoch_impl(self, params, opt_state, images, labels, perm, rng):
-        from .parallel import data_sharding
-
         dsh = data_sharding(self.mesh)
 
         def step(carry, xs):
@@ -249,8 +247,6 @@ class Trainer:
 
     def train_epoch(self, images_u8, labels, epoch: int):
         """Run one epoch fully on device; returns stacked per-step metrics."""
-        from .parallel import replicate
-
         rep = replicate(self.mesh)
         if not hasattr(self, "_train_epoch"):
             self._train_epoch = jax.jit(
@@ -284,8 +280,6 @@ class Trainer:
 
     # -- fused eval: whole test set in one dispatch ---------------------------
     def _eval_fused_impl(self, params, images, labels, valid, idx):
-        from .parallel import data_sharding
-
         dsh = data_sharding(self.mesh)
 
         def step(carry, batch_idx):
@@ -317,8 +311,6 @@ class Trainer:
     def evaluate_fused(self, images_u8, labels) -> dict[str, float]:
         """Evaluate the whole set in ONE dispatch, exactly: the tail batch is
         zero-padded and masked, so coverage equals :meth:`evaluate`."""
-        from .parallel import replicate
-
         rep = replicate(self.mesh)
         if not hasattr(self, "_eval_fused"):
             self._eval_fused = jax.jit(
@@ -375,11 +367,9 @@ class Trainer:
         Path(path).write_bytes(blob)
 
     def load_state(self, path) -> None:
-        from flax import serialization
-
         from pathlib import Path
 
-        from .parallel import replicate
+        from flax import serialization
 
         template = {"params": jax.device_get(self.params),
                     "opt_state": jax.device_get(self.opt_state)}

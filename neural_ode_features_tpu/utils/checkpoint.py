@@ -68,16 +68,17 @@ def save_checkpoint(path: str | Path, params: Any, cfg: ModelConfig,
 
 def load_checkpoint(path: str | Path, init_fn=None) -> tuple[Any, ModelConfig, dict]:
     """Read params + config.  ``init_fn(key, cfg) -> template`` defaults to
-    the right initialiser for the persisted config's model family."""
+    the right initialiser for the persisted ``extra['model']`` family."""
     from flax import serialization
 
     path = Path(path)
     meta = json.loads(path.with_suffix(path.suffix + ".json").read_text())
     cfg = ModelConfig(**meta["config"])
     if init_fn is None:
-        from ..models import init_odenet
+        from ..models import init_odenet, init_resnet
 
-        init_fn = init_odenet
+        model = meta.get("extra", {}).get("model", "odenet")
+        init_fn = init_resnet if model == "resnet" else init_odenet
     template = init_fn(jax.random.PRNGKey(0), cfg)
     params = serialization.from_bytes(template, path.read_bytes())
     return params, cfg, meta.get("extra", {})

@@ -50,11 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", dest="augment", action="store_false",
                    default=True)
-    p.add_argument("--max-steps", type=int, default=1024,
-                   help="solver iteration bound; with --no-adjoint the "
-                        "scan-unrolled solve runs EXACTLY this many "
-                        "iterations (no early exit) - set to ~3x the "
-                        "expected accepted steps (e.g. 64 at tol 1e-2/1e-3)")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="solver iteration bound (default: 1024 for the "
+                        "adjoint path, 64 for --no-adjoint — the scan-"
+                        "unrolled direct solve runs EXACTLY this many "
+                        "iterations with no early exit)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 dynamics compute (solver control stays f32)")
     p.add_argument("--num-devices", type=int, default=None,
@@ -121,12 +121,15 @@ def main(argv=None):
         augment=args.augment,
         num_devices=args.num_devices,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        max_steps=args.max_steps,
+        max_steps=args.max_steps or (1024 if args.adjoint else 64),
     )
 
+    # Execution knobs are excluded from the run identity (expman contract:
+    # identical *hyperparameters* resume the same directory).
     exp_params = {k: v for k, v in vars(args).items()
                   if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
-                               "profile", "resume", "tensorboard")}
+                               "profile", "resume", "tensorboard",
+                               "max_steps")}
     exp = Experiment(args.runs_dir, exp_params).create()
     print(f"run dir: {exp.path}")
 
@@ -247,13 +250,15 @@ def main(argv=None):
                                 extra={"epoch": epoch, "test_acc": ev["acc"],
                                        "train": exp_params,
                                        "model": args.model})
+        # State first, log second: a preemption between the two re-runs the
+        # epoch on resume instead of silently resuming stale weights.
+        trainer.save_state(state_path)
         exp.log(row)
         if tb_writer is not None:
             tb_writer.write_scalars(
                 epoch, {k: float(v) for k, v in row.items()
                         if k != "epoch" and v != ""}
             )
-        trainer.save_state(state_path)
         print(" | ".join(f"{k}={v}" for k, v in row.items()), flush=True)
 
     if profile_started:  # run ended before N profiled steps completed
