@@ -52,3 +52,10 @@ def test_fused_epoch_matches_per_batch():
         m = tr_b.train_batch(x[perm[i]], y[perm[i]].astype(np.int32), sub)
         losses.append(float(jax.device_get(m["loss"])))
     np.testing.assert_allclose(mf["loss"], losses, rtol=1e-5)
+
+
+def test_dryrun_multichip_4():
+    """The driver may probe other device counts; 4 ≤ the 8 virtual devices."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)
