@@ -58,3 +58,29 @@ def test_odenet_logits_parity():
                              rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(logits_j, np.float64),
                                logits_t.numpy(), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("tol", [1e-2, 1e-3, 1e-4])
+def test_nfe_parity_across_tolerances(tol):
+    """BASELINE.json: mean NFE must match the reference at equal rtol/atol.
+    With identical weights and batch-global control, the accepted-step
+    sequences coincide exactly (measured 26/32/44/80 at 1e-2..1e-5)."""
+    import dataclasses
+
+    from neural_ode_features_tpu.models import ModelConfig, init_odenet, odenet_logits
+    from neural_ode_features_tpu.oracle.torch_ref import (
+        build_torch_odenet,
+        load_jax_params_into_torch,
+    )
+
+    cfg = ModelConfig(in_channels=1, tol=tol, error_control="global")
+    params = init_odenet(jax.random.PRNGKey(3), cfg)
+    tm = build_torch_odenet(in_channels=1)
+    load_jax_params_into_torch(tm, params)
+    tm.eval()
+    x = np.random.default_rng(0).normal(size=(4, 28, 28, 1)).astype(np.float32)
+    _, stats = odenet_logits(params, jnp.asarray(x), cfg)
+    with torch.no_grad():
+        _, nfe_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                      rtol=tol, atol=tol)
+    assert int(stats.nfe[0]) == int(nfe_t), (int(stats.nfe[0]), int(nfe_t))
