@@ -248,6 +248,14 @@ def _order4_embedding(c: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
 _TSIT5_BHAT = _order4_embedding(_TSIT5_C, _TSIT5_A, _TSIT5_B)
 _TSIT5_BERR = _TSIT5_B - _TSIT5_BHAT
 assert np.linalg.norm(_TSIT5_BERR) > 1e-6, "tsit5 embedding degenerate"
+# The order-4 conditions pin the error weights' *direction* (their null
+# space is 1-D) but not the scale, and the min-norm solution over-reports
+# the true local error ~15x relative to dopri5's estimator.  Calibrate the
+# scale so the median (estimate / true local error) over a battery of
+# scalar test problems matches dopri5's — i.e. equivalent tolerance
+# semantics across the two solvers.  (The published Tsitouras b̂ would fix
+# the scale exactly; it is unavailable offline with confidence.)
+_TSIT5_BERR = _TSIT5_BERR * 0.0679
 
 TSIT5 = ButcherTableau(
     name="tsit5",
