@@ -56,6 +56,7 @@ class TrainConfig:
     downsampling: str = "conv"
     epochs: int = 160
     batch_size: int = 128
+    optimizer: str = "sgd"  # 'sgd' (reference) | 'adam'
     lr: float = 0.1
     momentum: float = 0.9
     weight_decay: float = 0.0
@@ -134,11 +135,18 @@ class Trainer:
         }
         schedule = optax.piecewise_constant_schedule(train_cfg.lr, boundaries)
         self.schedule = schedule
+        if train_cfg.optimizer == "sgd":
+            opt = optax.sgd(schedule, momentum=train_cfg.momentum,
+                            nesterov=False)
+        elif train_cfg.optimizer == "adam":
+            opt = optax.adam(schedule)
+        else:
+            raise ValueError(f"unknown optimizer {train_cfg.optimizer!r}")
         tx = optax.chain(
             optax.add_decayed_weights(train_cfg.weight_decay)
             if train_cfg.weight_decay
             else optax.identity(),
-            optax.sgd(schedule, momentum=train_cfg.momentum, nesterov=False),
+            opt,
         )
         self.tx = tx
 

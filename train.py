@@ -42,6 +42,7 @@ def parse_args(argv=None):
                    choices=["per_sample", "global"])
     p.add_argument("--epochs", type=int, default=160)
     p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--weight-decay", type=float, default=0.0)
@@ -110,6 +111,7 @@ def main(argv=None):
         downsampling=args.downsampling,
         epochs=args.epochs,
         batch_size=args.batch_size,
+        optimizer=args.optimizer,
         lr=args.lr,
         momentum=args.momentum,
         weight_decay=args.weight_decay,
