@@ -11,11 +11,14 @@ per-sample adaptive stepping.  Public surface:
 """
 
 from .adjoint import odeint_adjoint, set_backward_nfe_tap
+from .dense import DenseSolution, odeint_dense
 from .odeint import SOLVERS, SolveStats, odeint
 
 __all__ = [
     "odeint",
     "odeint_adjoint",
+    "odeint_dense",
+    "DenseSolution",
     "set_backward_nfe_tap",
     "SolveStats",
     "SOLVERS",
