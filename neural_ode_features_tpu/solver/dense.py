@@ -262,4 +262,7 @@ def odeint_dense(
             return jax.tree.map(lambda leaf: leaf[0], tree)
         return tree
 
+    # The raw record, for callers that must carry the solution through
+    # pytree-only boundaries (e.g. custom_vjp residuals in adjoint.py).
+    y_at.__wrapped_sol__ = sol
     return y_at, stats

@@ -186,3 +186,40 @@ def test_scan_remat_matches_scan_gradients(setup):
         fa = jax.flatten_util.ravel_pytree(ga)[0]
         fb = jax.flatten_util.ravel_pytree(gb)[0]
         np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=1e-9)
+
+
+def test_interpolated_adjoint_matches_reintegrate(setup):
+    """adjoint_mode='interpolated' (Daulbaev et al. 2020): gradients must
+    match the reintegrating adjoint to solver tolerance; values identical."""
+    params, y0, ts = setup
+
+    def grads(mode):
+        def loss(p):
+            ys, _ = odeint_adjoint(_dynamics, p, y0, ts, adjoint_mode=mode,
+                                   dense_max_steps=256, **TOL)
+            return jnp.sum(ys**2) + jnp.sum(jnp.sin(ys[-1]))
+
+        v, g = jax.value_and_grad(loss)(params)
+        return float(v), jax.flatten_util.ravel_pytree(g)[0]
+
+    v_r, g_r = grads("reintegrate")
+    v_i, g_i = grads("interpolated")
+    np.testing.assert_allclose(v_i, v_r, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_interpolated_adjoint_with_seminorm(setup):
+    params, y0, ts = setup
+
+    def loss(p):
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts,
+                               adjoint_mode="interpolated",
+                               adjoint_seminorm=True, **TOL)
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.flatten_util.ravel_pytree(jax.grad(loss)(params))[0]
+    ref = jax.flatten_util.ravel_pytree(jax.grad(lambda p: jnp.sum(
+        odeint_adjoint(_dynamics, p, y0, ts, **TOL)[0][-1] ** 2))(params))[0]
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-4,
+                               atol=1e-7)
