@@ -47,6 +47,7 @@ class ModelConfig:
     error_control: str = "per_sample"
     adjoint: bool = False
     adjoint_seminorm: bool = False  # backward error norm on (y, a_y) only
+    adjoint_mode: str = "reintegrate"  # or 'interpolated' (dense forward)
     max_steps: int = 4096
     # number of residual blocks (ResNet only)
     num_blocks: int = 6

@@ -105,6 +105,8 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool):
             error_control=cfg.error_control,
             max_steps=cfg.max_steps,
             adjoint_seminorm=cfg.adjoint_seminorm,
+            adjoint_mode=cfg.adjoint_mode,
+            dense_max_steps=min(cfg.max_steps, 256),
         )
 
     def dyn_closed(t, y):

@@ -52,6 +52,7 @@ class TrainConfig:
     solver: str = "dopri5"
     adjoint: bool = True
     adjoint_seminorm: bool = False
+    adjoint_mode: str = "reintegrate"
     error_control: str = "per_sample"
     downsampling: str = "conv"
     epochs: int = 160
@@ -78,6 +79,7 @@ class TrainConfig:
             downsampling=self.downsampling,
             adjoint=self.adjoint,
             adjoint_seminorm=self.adjoint_seminorm,
+            adjoint_mode=self.adjoint_mode,
             compute_dtype=self.compute_dtype,
             max_steps=self.max_steps,
         )

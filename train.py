@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--adjoint-seminorm", action="store_true",
                    help="seminorm backward error control (Kidger et al. "
                         "2020): fewer backward NFE, same gradient quality")
+    p.add_argument("--adjoint-mode", default="reintegrate",
+                   choices=["reintegrate", "interpolated"],
+                   help="'interpolated': backward reads y(t) from the "
+                        "forward's dense solution (Daulbaev et al. 2020)")
     p.add_argument("--downsampling", default="conv", choices=["conv", "res"],
                    help="stem variant (Chen et al. --downsampling-method)")
     p.add_argument("--error-control", default="per_sample",
@@ -107,6 +111,7 @@ def main(argv=None):
         solver=args.solver,
         adjoint=args.adjoint,
         adjoint_seminorm=args.adjoint_seminorm,
+        adjoint_mode=args.adjoint_mode,
         error_control=args.error_control,
         downsampling=args.downsampling,
         epochs=args.epochs,
