@@ -96,7 +96,7 @@ def _odeint_adjoint(func, cfg, params, y0, ts):
 
 def _fwd(func, cfg, params, y0, ts):
     kw = _thaw(cfg)
-    if kw.get("adjoint_mode") == "interpolated":
+    if kw.get("adjoint_mode") == "interpolated" and ts.shape[0] >= 2:
         # Dense forward: same solver/tolerances, but keep every accepted
         # step's interpolation record so the backward can evaluate y(t).
         from .dense import odeint_dense
@@ -115,18 +115,26 @@ def _fwd(func, cfg, params, y0, ts):
         ys = y_at(ts)
         # Residuals must be array pytrees: store the DenseSolution record,
         # not the evaluator closure; _bwd rebuilds the unravel from y0.
-        return (ys, stats), (params, y0, ts, ys, y_at.__wrapped_sol__)
+        # The forward's success flags ride along: a truncated dense solve
+        # (dense_max_steps exhausted) must poison gradients, not silently
+        # clamp-extrapolate.
+        fwd_ok = jnp.all(stats.success)
+        return (ys, stats), (params, y0, ts, ys,
+                             (y_at.__wrapped_sol__, fwd_ok))
     out = _odeint_adjoint(func, cfg, params, y0, ts)
     ys, _stats = out
     return out, (params, y0, ts, ys, None)
 
 
 def _bwd(func, cfg, residuals, cotangents):
-    params, y0, ts, ys, dense_sol = residuals
+    params, y0, ts, ys, dense_res = residuals
     g_ys, _g_stats = cotangents
     kw = _thaw(cfg)
-    interpolated = kw.get("adjoint_mode") == "interpolated"
+    interpolated = (kw.get("adjoint_mode") == "interpolated"
+                    and dense_res is not None)
+    fwd_ok = jnp.asarray(True)
     if interpolated:
+        dense_sol, fwd_ok = dense_res
         from .ravel import ravel_batched, ravel_full
 
         ravel = (ravel_batched
@@ -262,7 +270,7 @@ def _bwd(func, cfg, residuals, cotangents):
     # exactly-zero augmented components making the relative norm infinite)
     # must not masquerade as zero gradients: poison them with NaN so the
     # caller sees the failure.
-    all_ok = jnp.all(ok)
+    all_ok = jnp.all(ok) & fwd_ok
     poison = lambda g: jnp.where(all_ok, g, jnp.full_like(g, jnp.nan))
     a_p = jax.tree.map(poison, a_p)
     a_y = jax.tree.map(poison, a_y)
@@ -302,7 +310,7 @@ def odeint_adjoint(
     y(t) from the forward's dense solution — see module docstring;
     ``dense_max_steps`` bounds the forward's step/coefficient buffer).
     ``adjoint_seminorm=True`` restricts the
-    backward error norm to the (y, a_y) columns — typically 20-60%% fewer
+    backward error norm to the (y, a_y) columns — typically 20-60% fewer
     backward NFE at equal gradient quality (Kidger et al. 2020).
 
     Returns ``(ys, SolveStats)``; the stats carry no gradient.

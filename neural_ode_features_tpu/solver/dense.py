@@ -28,6 +28,7 @@ from .runge_kutta import (
     SolveStats,
     _error_ratio,
     _optimal_dt,
+    _rk_attempt,
     _select_initial_step,
 )
 from .tableau import ADAPTIVE_TABLEAUS, CUBIC_FIT, QUARTIC_FIT
@@ -112,6 +113,11 @@ def odeint_dense(
             f"odeint_dense supports adaptive RK methods, got {method!r}"
         )
     tableau = ADAPTIVE_TABLEAUS[method]
+    if not tableau.fsal:  # pragma: no cover - all shipped tableaus are FSAL
+        raise NotImplementedError(
+            "odeint_dense assumes an FSAL tableau (f1 = last stage); "
+            f"{method!r} is not FSAL"
+        )
     if error_control == "per_sample":
         flat0, unravel, flatten = ravel_batched(y0)
     elif error_control == "global":
@@ -129,11 +135,6 @@ def odeint_dense(
     span = jnp.asarray([t0, t1], dtype)
     direction = jnp.sign(span[1] - span[0])
 
-    tab_c = [jnp.asarray(v, dtype) for v in tableau.c]
-    tab_a = np.asarray(tableau.a)
-    tab_b = [jnp.asarray(v, dtype) for v in tableau.b]
-    tab_e = [jnp.asarray(v, dtype) for v in tableau.b_err]
-    stages = tableau.stages
     quartic = tableau.c_mid is not None
     n_coef = 5 if quartic else 4
     fit = jnp.asarray(QUARTIC_FIT if quartic else CUBIC_FIT, dtype)
@@ -165,41 +166,14 @@ def odeint_dense(
     def body(c):
         active = ~c.get("done")
         t0_, dt, y0_, f0 = c["t"], c["dt"], c["y"], c["f"]
-        dt_col = dt[:, None]
 
-        ks = [f0]
-        for i in range(1, stages):
-            acc = None
-            for j in range(i):
-                if float(tab_a[i, j]) == 0.0:
-                    continue
-                term = jnp.asarray(tab_a[i, j], dtype) * ks[j]
-                acc = term if acc is None else acc + term
-            yi = y0_ if acc is None else y0_ + dt_col * acc
-            ks.append(flat_func(t0_ + tab_c[i] * dt, yi))
-
-        y1 = y0_ + dt_col * sum(
-            tab_b[j] * ks[j] for j in range(stages) if float(tableau.b[j]) != 0.0
+        y1, err, f1, new_evals, data = _rk_attempt(
+            tableau, flat_func, t0_, dt, y0_, f0, dtype
         )
-        err = dt_col * sum(
-            tab_e[j] * ks[j] for j in range(stages)
-            if float(tableau.b_err[j]) != 0.0
-        )
-        f1 = ks[-1]
-
         ratio = _error_ratio(err, y0_, y1, rtol, atol)
         accept = (ratio <= 1.0) & active
         t1_ = t0_ + dt
 
-        if quartic:
-            y_mid = y0_ + dt_col * sum(
-                jnp.asarray(m, dtype) * ks[j]
-                for j, m in enumerate(tableau.c_mid)
-                if float(m) != 0.0
-            )
-            data = jnp.stack([y0_, y1, y_mid, dt_col * f0, dt_col * f1])
-        else:
-            data = jnp.stack([y0_, y1, dt_col * f0, dt_col * f1])
         coef = jnp.einsum("cd,dbn->cbn", fit, data)  # (D+1, B, N)
 
         # Per-sample scatter of this step's record at row naccept[b].
@@ -229,7 +203,7 @@ def odeint_dense(
             y=jnp.where(acc_col, y1, y0_),
             f=jnp.where(acc_col, f1, f0),
             t0s=t0s, dts=dts, coeffs=coeffs,
-            nfe=c["nfe"] + jnp.where(active, stages - 1, 0),
+            nfe=c["nfe"] + jnp.where(active, new_evals, 0),
             naccept=c["naccept"] + accept.astype(jnp.int32),
             nreject=c["nreject"] + (active & ~accept).astype(jnp.int32),
             done=c["done"] | reached,

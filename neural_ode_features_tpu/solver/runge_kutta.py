@@ -188,6 +188,55 @@ def _dense_write(fit, data, ts, t0, t1, dt, direction, accept, out):
     return jnp.where(covered[:, :, None], vals, out)
 
 
+def _rk_attempt(tableau: ButcherTableau, func, t0, dt, y0, f0, dtype):
+    """One embedded-RK step attempt, shared by adaptive_odeint and
+    odeint_dense (duplicating the stage kernel caused silent drift between
+    the two solvers).
+
+    Returns ``(y1, err, f1, new_evals, interp_data)`` where ``interp_data``
+    stacks the dense-output fit inputs: [y0, y1, (y_mid,) dt·f0, dt·f1].
+    """
+    dt_col = dt[:, None]
+    stages = tableau.stages
+    tab_a = np.asarray(tableau.a)
+
+    ks = [f0]
+    for i in range(1, stages):
+        acc = None
+        for j in range(i):
+            if float(tab_a[i, j]) == 0.0:
+                continue
+            term = jnp.asarray(tab_a[i, j], dtype) * ks[j]
+            acc = term if acc is None else acc + term
+        yi = y0 if acc is None else y0 + dt_col * acc
+        ks.append(func(t0 + jnp.asarray(tableau.c[i], dtype) * dt, yi))
+
+    y1 = y0 + dt_col * sum(
+        jnp.asarray(tableau.b[j], dtype) * ks[j]
+        for j in range(stages) if float(tableau.b[j]) != 0.0
+    )
+    err = dt_col * sum(
+        jnp.asarray(tableau.b_err[j], dtype) * ks[j]
+        for j in range(stages) if float(tableau.b_err[j]) != 0.0
+    )
+    if tableau.fsal:
+        f1 = ks[-1]
+        new_evals = stages - 1
+    else:  # pragma: no cover - all shipped tableaus are FSAL
+        f1 = func(t0 + dt, y1)
+        new_evals = stages
+
+    if tableau.c_mid is not None:
+        y_mid = y0 + dt_col * sum(
+            jnp.asarray(m, dtype) * ks[j]
+            for j, m in enumerate(tableau.c_mid) if float(m) != 0.0
+        )
+        data = jnp.stack([y0, y1, y_mid, dt_col * f0, dt_col * f1])
+    else:
+        data = jnp.stack([y0, y1, dt_col * f0, dt_col * f1])
+    return y1, err, f1, new_evals, data
+
+
 def adaptive_odeint(
     func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     y0: jnp.ndarray,
@@ -228,17 +277,8 @@ def adaptive_odeint(
     n_out = ts.shape[0]
     ts = ts.astype(dtype)
 
-    tab_c = [jnp.asarray(v, dtype) for v in tableau.c]
-    tab_a = [[jnp.asarray(v, dtype) for v in row] for row in np.asarray(tableau.a)]
-    tab_b = [jnp.asarray(v, dtype) for v in tableau.b]
-    tab_e = [jnp.asarray(v, dtype) for v in tableau.b_err]
-    stages = tableau.stages
     quartic = tableau.c_mid is not None
-    if quartic:
-        tab_mid = [jnp.asarray(v, dtype) for v in tableau.c_mid]
-        fit = jnp.asarray(QUARTIC_FIT, dtype)
-    else:
-        fit = jnp.asarray(CUBIC_FIT, dtype)
+    fit = jnp.asarray(QUARTIC_FIT if quartic else CUBIC_FIT, dtype)
 
     direction = jnp.sign(ts[-1] - ts[0])
     t_final = ts[-1]
@@ -270,48 +310,18 @@ def adaptive_odeint(
         iters=jnp.zeros((), jnp.int32),
     )
 
-    evals_per_attempt = stages - 1 if tableau.fsal else stages
-
     def body(c: _Carry) -> _Carry:
         active = ~c.done
         t0, dt, y0, f0 = c.t, c.dt, c.y, c.f
-        dt_col = dt[:, None]
 
-        # --- RK stages (python loop: statically unrolled in the trace) ---
-        ks = [f0]
-        for i in range(1, stages):
-            acc = None
-            for j in range(i):
-                aij = tab_a[i][j]
-                if float(tableau.a[i, j]) == 0.0:
-                    continue
-                term = aij * ks[j]
-                acc = term if acc is None else acc + term
-            yi = y0 if acc is None else y0 + dt_col * acc
-            ki = func(t0 + tab_c[i] * dt, yi)
-            ks.append(ki)
-
-        y1 = y0 + dt_col * sum(tab_b[j] * ks[j] for j in range(stages) if float(tableau.b[j]) != 0.0)
-        err = dt_col * sum(tab_e[j] * ks[j] for j in range(stages) if float(tableau.b_err[j]) != 0.0)
-        if tableau.fsal:
-            f1 = ks[-1]
-            new_evals = evals_per_attempt
-        else:  # pragma: no cover - all shipped tableaus are FSAL
-            f1 = func(t0 + dt, y1)
-            new_evals = stages
-
+        y1, err, f1, new_evals, data = _rk_attempt(
+            tableau, func, t0, dt, y0, f0, dtype
+        )
         ratio = _error_ratio(err, y0, y1, rtol, atol, error_mask)
         accept = (ratio <= 1.0) & active
         t1 = t0 + dt
 
         # --- dense output: fit p(x), x=(t-t0)/dt ∈ [0,1], on this step ---
-        if quartic:
-            y_mid = y0 + dt_col * sum(
-                tab_mid[j] * ks[j] for j in range(stages) if float(tableau.c_mid[j]) != 0.0
-            )
-            data = jnp.stack([y0, y1, y_mid, dt_col * f0, dt_col * f1])
-        else:
-            data = jnp.stack([y0, y1, dt_col * f0, dt_col * f1])
         out = _dense_write(fit, data, ts, t0, t1, dt, direction, accept, c.out)
 
         # --- controller + masked state update ---
