@@ -35,8 +35,74 @@ def parse_args(argv=None):
     p.add_argument("--tsne", action="store_true",
                    help="also write 2-D t-SNE embeddings per t "
                         "(tsne_t*.csv next to the feature file)")
+    p.add_argument("--plot", action="store_true",
+                   help="also write metrics_vs_t.png (the papers' key curve)")
     p.add_argument("--output", default=None)
     return p.parse_args(argv)
+
+
+def _plot_metrics(rows: list[dict], out_png):
+    """Metric-vs-t line chart (matplotlib, static PNG).
+
+    Colors are slots 1-3 of the dataviz skill's pre-validated reference
+    categorical palette, in its fixed order, on its light surface (no JS
+    runtime on this box to re-run the validator; values used unmodified).
+    Marks follow the spec: 2px lines, ~8px markers, recessive grid, legend +
+    direct end labels, text in ink tokens rather than series colors.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series_colors = ["#2a78d6", "#eb6834", "#1baf7a"]  # blue, orange, aqua
+    ink, ink2 = "#0b0b0b", "#52514e"
+    surface = "#fcfcfb"
+    labels = {"linear_acc": "linear probe", "knn_acc": "kNN",
+              "retrieval_map": "retrieval mAP"}
+
+    ts = [r["t"] for r in rows]
+    keys = [k for k in ("linear_acc", "knn_acc", "retrieval_map")
+            if k in rows[0]]
+
+    fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=150)
+    fig.patch.set_facecolor(surface)
+    ax.set_facecolor(surface)
+    # Direct end labels, staggered when series ends collide (eyeball check:
+    # saturated runs end every metric at ~1.0 and the labels overprint).
+    ends = sorted(((rows[-1][k], i) for i, k in enumerate(keys)))
+    label_y = {}
+    prev = None
+    for v, i in ends:
+        y = v if prev is None else max(v, prev + 0.05)
+        label_y[i] = min(y, 1.0 + 0.05 * (len(ends) - 1))
+        prev = label_y[i]
+    for i, k in enumerate(keys):
+        vals = [r[k] for r in rows]
+        c = series_colors[i]
+        ax.plot(ts, vals, color=c, linewidth=2, marker="o", markersize=4.5,
+                label=labels[k])
+        ax.annotate(labels[k], (ts[-1], label_y[i]), xytext=(6, 0),
+                    textcoords="offset points", va="center", fontsize=8,
+                    color=ink2, annotation_clip=False)
+    ax.set_xlabel("integration time t", color=ink2, fontsize=9)
+    ax.set_ylabel("metric", color=ink2, fontsize=9)
+    ax.set_title("Feature quality vs integration time", color=ink,
+                 fontsize=11, loc="left")
+    ax.set_ylim(0.0, 1.02)
+    ax.grid(True, color="#e4e3df", linewidth=0.6)
+    ax.set_axisbelow(True)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    for spine in ("left", "bottom"):
+        ax.spines[spine].set_color("#c3c2b7")
+    ax.tick_params(colors=ink2, labelsize=8)
+    if len(keys) >= 2:
+        ax.legend(frameon=False, fontsize=8, labelcolor=ink2,
+                  loc="lower right")
+    fig.tight_layout()
+    fig.savefig(out_png, facecolor=surface, bbox_inches="tight")
+    plt.close(fig)
 
 
 def main(argv=None):
@@ -88,6 +154,11 @@ def main(argv=None):
         w.writeheader()
         w.writerows(rows)
     print(f"wrote {out}")
+
+    if args.plot:
+        out_png = out.with_suffix(".png")
+        _plot_metrics(rows, out_png)
+        print(f"wrote {out_png}")
 
     best = max(rows, key=lambda r: r.get("linear_acc", r.get("knn_acc", 0)))
     print(f"best t: {best}")

@@ -51,3 +51,14 @@ def test_cli_pipeline(tmp_path):
     ])
     assert sweep_rows[0]["nfe_mean"] > 5
     assert 0.0 <= sweep_rows[0]["top1"] <= 1.0
+
+
+def test_evaluate_plot(tmp_path):
+    """--plot writes a PNG next to the CSV (the papers' metric-vs-t curve)."""
+    from evaluate import _plot_metrics
+
+    rows = [{"t": 0.0, "linear_acc": 0.5, "retrieval_map": 0.3},
+            {"t": 1.0, "linear_acc": 0.9, "retrieval_map": 0.7}]
+    out = tmp_path / "m.png"
+    _plot_metrics(rows, out)
+    assert out.exists() and out.stat().st_size > 5_000
