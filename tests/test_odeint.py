@@ -125,3 +125,23 @@ def test_max_steps_flags_failure():
         rtol=1e-10, atol=1e-12, max_steps=5,
     )
     assert not bool(np.all(stats.success))
+
+
+def test_vmap_over_solves():
+    """odeint composes with jax.vmap (batching rule of the while_loop):
+    mapping over initial conditions equals stacking independent solves."""
+    def f(t, y):
+        return -y
+
+    ts = jnp.asarray([0.0, 1.0])
+
+    def solve(y0_row):
+        ys, stats = odeint(f, y0_row[None, :], ts, rtol=1e-6, atol=1e-8)
+        return ys[-1, 0], stats.nfe[0]
+
+    y0s = jnp.asarray(np.linspace(0.5, 2.0, 4))[:, None] * jnp.ones((4, 3))
+    finals, nfes = jax.vmap(solve)(y0s)
+    for i in range(4):
+        ref, st = odeint(f, y0s[i : i + 1], ts, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(finals[i]),
+                                   np.asarray(ref[-1, 0]), rtol=1e-6)
