@@ -145,3 +145,17 @@ def test_vmap_over_solves():
         ref, st = odeint(f, y0s[i : i + 1], ts, rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(finals[i]),
                                    np.asarray(ref[-1, 0]), rtol=1e-6)
+
+
+def test_error_estimators_calibrated_across_solvers():
+    """tsit5's derived error weights are scale-calibrated to dopri5's
+    estimator (solver/tableau.py): at equal tolerances the two order-5
+    solvers must take comparable step counts (regression for the 15x
+    over-reporting the uncalibrated weights had)."""
+    _, st_d = odeint(SINE.func, jnp.asarray(SINE.y0), jnp.asarray([0.0, 2.0]),
+                     rtol=1e-6, atol=1e-8, method="dopri5")
+    _, st_t = odeint(SINE.func, jnp.asarray(SINE.y0), jnp.asarray([0.0, 2.0]),
+                     rtol=1e-6, atol=1e-8, method="tsit5")
+    nfe_d, nfe_t = int(st_d.nfe[0]), int(st_t.nfe[0])
+    assert nfe_t < 2.0 * nfe_d, (nfe_t, nfe_d)
+    assert nfe_t > 0.5 * nfe_d, (nfe_t, nfe_d)
