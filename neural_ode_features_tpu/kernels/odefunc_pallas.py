@@ -23,7 +23,6 @@ interpreter mode) and bench_tolerance_sweep's TPU check.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

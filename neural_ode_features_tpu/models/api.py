@@ -13,7 +13,6 @@ is, by construction).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..solver import SolveStats

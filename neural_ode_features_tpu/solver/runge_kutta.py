@@ -29,7 +29,6 @@ see SURVEY.md §0), redesigned for TPU:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

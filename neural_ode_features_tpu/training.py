@@ -19,8 +19,6 @@ mount, SURVEY.md §3.1), redesigned TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +35,7 @@ from .models import (
 from .models.odenet import odefunc_apply
 from .ops.preprocess import augment, normalize
 from .parallel import data_sharding, make_mesh, replicate
-from .solver import odeint, odeint_adjoint
+from .solver import odeint
 
 __all__ = ["TrainConfig", "Trainer"]
 
