@@ -71,10 +71,25 @@ def conv2d(
     """NHWC conv (or transposed conv) on the MXU with fp32 accumulation.
 
     ``padding``: 'SAME' | 'VALID' | int p (symmetric) | explicit seq.
+    Integer padding uses torch semantics in BOTH directions: for
+    ``transpose=True`` it is converted to lax's convention (k-1-p per dim),
+    so ConvTranspose2d(k, s, p) shapes match torch's
+    (in-1)*s - 2p + k.
     """
     kernel = params["kernel"].astype(x.dtype)
+    # For f32 inputs, request f32 output explicitly.  For bf16 inputs the
+    # MXU accumulates in f32 internally regardless; requesting a WIDER
+    # output dtype than the inputs breaks the conv's VJP in jax 0.9 (the
+    # transpose rule feeds the f32 cotangent into a conv against the bf16
+    # kernel -> dtype mismatch), so there the output stays bf16 and the
+    # downstream GroupNorm recomputes statistics in f32.
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     if isinstance(padding, int):
-        padding = [(padding, padding), (padding, padding)]
+        if transpose:
+            kh, kw = kernel.shape[0], kernel.shape[1]
+            padding = [(kh - 1 - padding,) * 2, (kw - 1 - padding,) * 2]
+        else:
+            padding = [(padding, padding), (padding, padding)]
     if transpose:
         out = lax.conv_transpose(
             x,
@@ -82,7 +97,7 @@ def conv2d(
             strides=(stride, stride),
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=preferred,
         )
     else:
         out = lax.conv_general_dilated(
@@ -91,7 +106,7 @@ def conv2d(
             window_strides=(stride, stride),
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=preferred,
         )
     out = out.astype(x.dtype)
     if "bias" in params:
@@ -129,9 +144,10 @@ def init_linear(key, din: int, dout: int, *, dtype=jnp.float32) -> Params:
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     return (
         jnp.dot(x, params["kernel"].astype(x.dtype),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                preferred_element_type=preferred).astype(x.dtype)
         + params["bias"].astype(x.dtype)
     )
 

@@ -184,3 +184,36 @@ def test_res_downsampling_stem():
     p3 = init_odenet(jax.random.PRNGKey(1), cfg3)
     h3 = stem_apply(p3["stem"], _x(cfg3), cfg3)
     assert h3.shape == (2, 8, 8, 64)
+
+
+def test_conv_transpose_path():
+    """ops.conv2d(transpose=True) upsamples (the reference's ConcatConv2d
+    carries a transpose flag; ours lives on the layer op)."""
+    from neural_ode_features_tpu.ops import conv2d, init_conv
+
+    p = init_conv(jax.random.PRNGKey(0), 4, 4, 8, 8)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 6, 8)),
+                    jnp.float32)
+    up = conv2d(p, x, stride=2, padding=1, transpose=True)
+    assert up.shape == (2, 12, 12, 8)
+    assert np.all(np.isfinite(np.asarray(up)))
+
+
+def test_bfloat16_adjoint_training_grads():
+    """Regression: bf16 dynamics + adjoint raised a conv-VJP dtype mismatch
+    (preferred_element_type wider than the inputs); gradients must be finite
+    and close to the f32 path."""
+    cfg16 = ModelConfig(in_channels=1, tol=1e-2, compute_dtype="bfloat16")
+    cfg32 = ModelConfig(in_channels=1, tol=1e-2)
+    params = init_odenet(jax.random.PRNGKey(0), cfg32)
+    x = _x(cfg32, b=4)
+
+    def gnorm(cfg):
+        g = jax.grad(lambda p: jnp.sum(
+            odenet_logits(p, x, cfg, adjoint=True)[0]))(params)
+        flat = jax.flatten_util.ravel_pytree(g)[0]
+        assert np.all(np.isfinite(np.asarray(flat)))
+        return float(jnp.linalg.norm(flat))
+
+    n16, n32 = gnorm(cfg16), gnorm(cfg32)
+    assert abs(n16 - n32) / n32 < 0.15, (n16, n32)
