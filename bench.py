@@ -169,8 +169,9 @@ def main(argv=None):
         except Exception as e:  # torch missing or oracle failure
             print(f"baseline measurement failed: {e}", file=sys.stderr)
 
+    shape_name = "mnist" if cfg.in_channels == 1 else "cifar10"
     result = {
-        "metric": "images_per_sec_per_chip_cifar10_odenet_inference_rtol1e-3",
+        "metric": f"images_per_sec_per_chip_{shape_name}_odenet_inference_rtol1e-3",
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
