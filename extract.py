@@ -39,6 +39,14 @@ def parse_args(argv=None):
     p.add_argument("--output", default=None, help="output .h5 path")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--nfe-sort", action="store_true",
+                   help="order samples by a cheap 10x-loose-tolerance NFE "
+                        "pre-pass so each batch is NFE-homogeneous (the "
+                        "per-sample while_loop runs until its slowest "
+                        "sample finishes; mixed batches pay the max). Only "
+                        "helps when per-sample NFE actually varies - on the "
+                        "synthetic twins it is uniform and this is a no-op "
+                        "costing one extra loose pass")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -82,10 +90,41 @@ def main(argv=None):
 
     images, labels = load_dataset(dataset, args.split, args.data_dir,
                                   limit=args.limit)
-    batches = Batches(images, labels, args.batch_size, shuffle=False,
-                      drop_remainder=False)
 
     from neural_ode_features_tpu.ops.preprocess import normalize
+
+    order = None
+    if args.nfe_sort and model == "odenet":
+        # Cheap pre-pass: per-sample NFE at a loose tolerance strongly
+        # predicts the NFE ordering at the target tolerance.
+        import dataclasses
+
+        from neural_ode_features_tpu.models import odenet_logits
+
+        cfg_loose = dataclasses.replace(cfg, tol=min(cfg.tol * 10, 1e-1),
+                                        adjoint=False)
+
+        @jax.jit
+        def probe(p, img_u8):
+            x = normalize(img_u8, dataset)
+            _, st = odenet_logits(p, x, cfg_loose)
+            return st.nfe
+
+        probe_b = Batches(images, labels, args.batch_size, shuffle=False,
+                          drop_remainder=False)
+        nfe_pred = []
+        for img, _, valid in probe_b.padded_batches():
+            nfe = np.asarray(jax.device_get(probe(params, img)))
+            if nfe.shape[0] != valid.shape[0]:
+                nfe = np.broadcast_to(nfe, valid.shape)
+            nfe_pred.append(nfe[valid])
+        order = np.argsort(np.concatenate(nfe_pred), kind="stable")
+        images, labels = images[order], labels[order]
+        print(f"nfe-sort: predicted NFE spread "
+              f"{np.concatenate(nfe_pred).min()}..{np.concatenate(nfe_pred).max()}")
+
+    batches = Batches(images, labels, args.batch_size, shuffle=False,
+                      drop_remainder=False)
 
     if model == "odenet":
         ts = jnp.linspace(0.0, 1.0, args.timestamps)
@@ -118,6 +157,10 @@ def main(argv=None):
     features = np.concatenate(feats_parts, axis=1)  # (T, N, C)
     nfe = np.concatenate(nfe_parts)
     labels_out = np.concatenate(label_parts).astype(np.int32)
+    if order is not None:  # restore the dataset's original sample order
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        features, nfe, labels_out = features[:, inv], nfe[inv], labels_out[inv]
 
     out_path = Path(args.output) if args.output else (
         run_dir / f"features_{args.split}.h5"
