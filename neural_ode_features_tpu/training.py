@@ -264,14 +264,20 @@ class Trainer:
                 donate_argnums=(0, 1),
             )
             self._staged = None
-        key = (id(images_u8), len(images_u8))
-        if self._staged is None or self._staged[0] != key:
+        # Key on the source arrays THEMSELVES (strong refs + identity): a
+        # strong ref pins the objects so their ids can never be recycled —
+        # the id()-keyed variant could silently reuse stale staged data for
+        # a new array allocated at a dead array's address (ADVICE r1).
+        if self._staged is None or not (
+            self._staged[0] is images_u8 and self._staged[1] is labels
+        ):
             self._staged = (
-                key,
+                images_u8,
+                labels,
                 jax.device_put(images_u8, rep),
                 jax.device_put(labels.astype(np.int32), rep),
             )
-        _, img_dev, lab_dev = self._staged
+        img_dev, lab_dev = self._staged[2], self._staged[3]
 
         n = len(images_u8)
         bs = self.cfg.batch_size
@@ -330,8 +336,11 @@ class Trainer:
         bs = self.cfg.batch_size
         n = len(images_u8)
         n_pad = (-n) % bs
-        key = (id(images_u8), n)
-        if self._eval_staged is None or self._eval_staged[0] != key:
+        # Identity-keyed with strong refs (see train_epoch): ids can't
+        # recycle while the cache holds the source arrays.
+        if self._eval_staged is None or not (
+            self._eval_staged[0] is images_u8 and self._eval_staged[1] is labels
+        ):
             img = np.concatenate(
                 [images_u8,
                  np.zeros((n_pad,) + images_u8.shape[1:], images_u8.dtype)]
@@ -341,12 +350,13 @@ class Trainer:
             ) if n_pad else labels.astype(np.int32)
             val = np.concatenate([np.ones(n, bool), np.zeros(n_pad, bool)])
             self._eval_staged = (
-                key,
+                images_u8,
+                labels,
                 jax.device_put(img, rep),
                 jax.device_put(lab, rep),
                 jax.device_put(val, rep),
             )
-        _, img_dev, lab_dev, val_dev = self._eval_staged
+        img_dev, lab_dev, val_dev = self._eval_staged[2:]
 
         idx = jax.device_put(
             np.arange(n + n_pad, dtype=np.int32).reshape(-1, bs), rep

@@ -128,3 +128,34 @@ def test_shard_batch_returns_tuple():
     a, b = shard_batch(mesh, np.zeros((16, 2), np.float32),
                        np.zeros(16, np.int32))
     assert b.shape == (16,)
+
+
+def test_staging_cache_fresh_data_same_shape(tiny_data):
+    """Regression (ADVICE r1): the staging cache was keyed on id(images),
+    which Python recycles — a new same-length array could silently reuse the
+    previous array's staged device copy. New array objects (even with
+    identical shape/length) must be restaged."""
+    x, y = tiny_data
+    cfg = _cfg(batch_size=16)
+    trainer = Trainer(cfg, steps_per_epoch=4)
+
+    ev_a = trainer.evaluate_fused(x, y)
+    # Same shapes, different contents: constant images, shuffled labels.
+    x2 = np.zeros_like(x)
+    y2 = ((y + 3) % 10).astype(np.int32)
+    ev_b = trainer.evaluate_fused(x2, y2)
+    assert ev_a != ev_b, "stale staged data returned for a new array"
+    # Re-passing the ORIGINAL objects must reuse the cache and reproduce.
+    ev_a2 = trainer.evaluate_fused(x, y)
+    assert ev_a == ev_a2
+
+    # Same property for the fused train-epoch path: training one epoch on
+    # zeros-vs-real data from identical initial params must diverge.
+    tr1 = Trainer(cfg, steps_per_epoch=4)
+    m1 = tr1.train_epoch(x, y, epoch=0)
+    tr2 = Trainer(cfg, steps_per_epoch=4)
+    tr2.train_epoch(x, y, epoch=0)  # stage the real data first
+    m2 = tr2.train_epoch(np.zeros_like(x), y, epoch=0)
+    assert not np.allclose(m1["loss"], m2["loss"]), (
+        "train_epoch reused stale staged images for a new array"
+    )
