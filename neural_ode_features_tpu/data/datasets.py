@@ -126,11 +126,19 @@ def _load_cifar10(root: Path, split: str):
 # Synthetic twins — deterministic, class-structured, learnable
 # ---------------------------------------------------------------------------
 def _synthetic(base: str, split: str, n_override: int | None = None):
-    """Class-conditional images: each class is a smooth random template plus
-    a per-sample random spatial shift, amplitude jitter and pixel noise.
-    Deterministic in (base, split).  Not linearly separable in pixel space
-    (shifts), but convnets reach >97% — good enough to exercise training,
-    feature extraction and retrieval metrics end-to-end."""
+    """Class-conditional images: each sample is a convex mixture of its own
+    class's smooth random template and ONE random distractor class's template
+    (mixing weight up to 0.48 — the true class always dominates, so labels
+    are noise-free, but boundary samples are genuinely hard), plus a random
+    spatial shift, amplitude jitter and pixel noise.  Deterministic in
+    (base, split).
+
+    The round-1 twins saturated at top-1 = 1.0000 by epoch 2, which made the
+    accuracy axis unable to discriminate anything (solver tolerance, bf16,
+    adjoint mode all scored identically — VERDICT r1 weak #5).  The mixture
+    puts a controlled mass of samples near decision boundaries: converged
+    top-1 lands in ~0.90–0.98 and small logit perturbations measurably move
+    it, so accuracy-parity claims are falsifiable."""
     spec = _SPECS[base]
     h, w, c = spec["shape"]
     n = n_override or (spec["n_train"] if split == "train" else spec["n_test"])
@@ -154,11 +162,16 @@ def _synthetic(base: str, split: str, n_override: int | None = None):
     templates /= templates.max(axis=(1, 2, 3), keepdims=True)
 
     labels = rng.integers(0, k, size=n).astype(np.uint8)
+    # Distractor class (never the true class) and mixing weight: a flat
+    # weight distribution on [0, 0.48] leaves ~15–20% of samples with a
+    # distractor share > 0.35 — the hard tail that keeps accuracy < 1.
+    distract = (labels + rng.integers(1, k, size=n)) % k
+    mix = rng.uniform(0.0, 0.48, size=(n, 1, 1, 1))
     shifts = rng.integers(-3, 4, size=(n, 2))
     amps = rng.uniform(0.7, 1.0, size=(n, 1, 1, 1))
-    noise = rng.normal(0.0, 0.08, size=(n, h, w, c))
+    noise = rng.normal(0.0, 0.12, size=(n, h, w, c))
 
-    base_imgs = templates[labels]
+    base_imgs = (1.0 - mix) * templates[labels] + mix * templates[distract]
     rolled = np.empty_like(base_imgs)
     for dy in range(-3, 4):
         for dx in range(-3, 4):

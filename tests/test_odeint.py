@@ -148,14 +148,16 @@ def test_vmap_over_solves():
 
 
 def test_error_estimators_calibrated_across_solvers():
-    """tsit5's derived error weights are scale-calibrated to dopri5's
-    estimator (solver/tableau.py): at equal tolerances the two order-5
-    solvers must take comparable step counts (regression for the 15x
-    over-reporting the uncalibrated weights had)."""
+    """tsit5 ships Tsitouras' genuine published 5(4) embedding
+    (solver/tableau.py, order-4 conditions verified at import): at equal
+    tolerances the two order-5 solvers must take comparable step counts
+    (round 1's approximate embedding cost NFE 44 vs dopri5's 32)."""
     _, st_d = odeint(SINE.func, jnp.asarray(SINE.y0), jnp.asarray([0.0, 2.0]),
                      rtol=1e-6, atol=1e-8, method="dopri5")
     _, st_t = odeint(SINE.func, jnp.asarray(SINE.y0), jnp.asarray([0.0, 2.0]),
                      rtol=1e-6, atol=1e-8, method="tsit5")
     nfe_d, nfe_t = int(st_d.nfe[0]), int(st_t.nfe[0])
-    assert nfe_t < 2.0 * nfe_d, (nfe_t, nfe_d)
+    # tsit5's raison d'être: at moderate tolerances it needs no MORE
+    # function evaluations than dopri5 (measured here: 200 vs 224).
+    assert nfe_t <= nfe_d, (nfe_t, nfe_d)
     assert nfe_t > 0.5 * nfe_d, (nfe_t, nfe_d)
