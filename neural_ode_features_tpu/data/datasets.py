@@ -163,10 +163,11 @@ def _synthetic(base: str, split: str, n_override: int | None = None):
 
     labels = rng.integers(0, k, size=n).astype(np.uint8)
     # Distractor class (never the true class) and mixing weight: a flat
-    # weight distribution on [0, 0.48] leaves ~15–20% of samples with a
-    # distractor share > 0.35 — the hard tail that keeps accuracy < 1.
+    # weight distribution on [0, 0.5] — samples near mix = 0.5 are close to
+    # genuinely ambiguous (plus pixel noise), the hard tail that pins
+    # converged top-1 in the discriminative ~0.95–0.98 band.
     distract = (labels + rng.integers(1, k, size=n)) % k
-    mix = rng.uniform(0.0, 0.48, size=(n, 1, 1, 1))
+    mix = rng.uniform(0.0, 0.5, size=(n, 1, 1, 1))
     shifts = rng.integers(-3, 4, size=(n, 2))
     amps = rng.uniform(0.7, 1.0, size=(n, 1, 1, 1))
     noise = rng.normal(0.0, 0.12, size=(n, h, w, c))

@@ -5,14 +5,19 @@ torchdiffeq/_impl/adams.py ``VariableCoefficientAdamsBashforth`` :~1-400 —
 UNVERIFIED, empty mount, SURVEY.md §2.2), redesigned for one on-device
 ``lax.while_loop``:
 
-  * order-4 predictor (AB) / order-4 corrector (AM) with **variable
-    coefficients** computed at runtime from the actual (non-uniform) history
-    node positions: the integration weights are the exact integrals of the
-    Lagrange basis over the step, obtained per sample from a batched 4×4
-    Vandermonde moment solve — no uniform-grid assumption;
+  * predictor (AB) / corrector (AM) with **variable coefficients** computed
+    at runtime from the actual (non-uniform) history node positions: the
+    integration weights are the exact integrals of the Lagrange basis over
+    the step — no uniform-grid assumption;
+  * order ramps 1 → ``max_order`` (default 8, cap 12; the reference ramps
+    1–12).  The weight systems are dual Vandermonde solves, which a generic
+    ``linalg.solve`` cannot survive in f32 past order ~5 (measured rel.
+    error 1.9e-5 at order 8, 4.6e-2 at order 12); we use the
+    Björck–Pereyra O(k²) recurrences instead (Golub & Van Loan §4.6),
+    measured 2.4e-7 / 1.3e-6 — stable in the TPU compute dtype;
   * per-sample step control and NFE accounting like the RK path (the carry
     holds per-sample history nodes, times and done-masks);
-  * start-up by order ramping: the first steps use k = 1, 2, 3 node subsets
+  * start-up by order ramping: the first steps use k = 1, 2, … node subsets
     (selected with masks, everything fixed-shape for XLA);
   * PECE: two dynamics evaluations per attempted step;
   * predictor–corrector difference (Milne device) as the error estimate —
@@ -23,9 +28,10 @@ UNVERIFIED, empty mount, SURVEY.md §2.2), redesigned for one on-device
     a fixed lower-order Hermite diverged on polynomial dynamics where
     near-zero error estimates let dt grow without bound.
 
-Order is fixed at ≤4 (the reference ramps 1–12); tolerance accuracy is
-unchanged — the solver just takes more, cheaper steps at very tight
-tolerances.  Documented deviation, revisit if profiles demand it.
+Deviation from the reference: the order ramp is monotone (no adaptive
+order *decrease*); the step controller absorbs any high-order stability
+penalty via rejections.  Measured: order 8 beats order 4 on NFE at tight
+tolerances (tests/test_adams.py).
 """
 
 from __future__ import annotations
@@ -45,7 +51,7 @@ from .runge_kutta import (
 
 __all__ = ["adams_odeint"]
 
-_K = 4  # max nodes (order)
+_MAX_ORDER_CAP = 12  # matches the reference's VCABM ceiling
 
 
 class _Carry(NamedTuple):
@@ -63,23 +69,45 @@ class _Carry(NamedTuple):
     iters: jnp.ndarray
 
 
-def _lagrange_system(s: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Vᵀ for the Lagrange-weight moment system: a[j, i] = s_i^j, (B, k, k)."""
-    sk = s[:, :k]
-    powers = jnp.stack([sk**j for j in range(k)], axis=-1)
-    return jnp.swapaxes(powers, -1, -2)
+def _bp_dual(x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the dual Vandermonde system Σ_i w_i x_i^j = b_j, j = 0..k-1,
+    via the Björck–Pereyra recurrences (Golub & Van Loan alg. 4.6.2).
+
+    ``x``: (B, k) distinct nodes; ``b``: (B, k) or (B, k, T) moments.
+    Returns ``w`` shaped like ``b``.  O(k²) elementwise ops (static Python
+    loops, k ≤ 12) — dramatically more accurate than a generic LU solve on
+    the notoriously ill-conditioned Vandermonde matrix (f32 relative error
+    at k=8: 2.4e-7 vs 1.9e-5; at k=12: 1.3e-6 vs 4.6e-2), and plain
+    arithmetic, so it differentiates cleanly (no ``linalg.solve`` transpose
+    rule re-injecting NaN from masked-out dummy nodes)."""
+    k = x.shape[1]
+    trailing = b.ndim == 3
+
+    def col(v):  # broadcast an x-column against b's trailing dims
+        return v[:, None] if trailing else v
+
+    bs = [b[:, j] for j in range(k)]
+    xs = [x[:, j] for j in range(k)]
+    for m in range(k - 1):
+        for j in range(k - 1, m, -1):
+            bs[j] = bs[j] - col(xs[m]) * bs[j - 1]
+    for m in range(k - 2, -1, -1):
+        for j in range(m + 1, k):
+            bs[j] = bs[j] / col(xs[j] - xs[j - m - 1])
+        for j in range(m, k - 1):
+            bs[j] = bs[j] - bs[j + 1]
+    return jnp.stack(bs, axis=1)
 
 
 def _integration_weights(s: jnp.ndarray, k: int) -> jnp.ndarray:
     """Exact ∫₀¹ of the Lagrange interpolant through nodes at normalised
-    positions ``s[..., :k]``: solve Vᵀ w = m with V[i,j] = s_i^j and moments
+    positions ``s[..., :k]``: dual Vandermonde system with moments
     m_j = 1/(j+1).  s: (B, K) → w: (B, k)."""
     if k == 1:
         return jnp.ones_like(s[:, :1])
-    a = _lagrange_system(s, k)
     moments = jnp.asarray([1.0 / (j + 1) for j in range(k)], s.dtype)
-    b = jnp.broadcast_to(moments, s.shape[:-1] + (k,))[..., None]
-    return jnp.linalg.solve(a, b)[..., 0]  # (B, k)
+    b = jnp.broadcast_to(moments, s.shape[:-1] + (k,))
+    return _bp_dual(s[:, :k], b)
 
 
 def _partial_integration_weights(s: jnp.ndarray, k: int, x: jnp.ndarray):
@@ -90,12 +118,11 @@ def _partial_integration_weights(s: jnp.ndarray, k: int, x: jnp.ndarray):
     y0 + dt·Σ w_i(x) f_i is exact exactly when the corrector step itself is
     (e.g. polynomial dynamics), unlike a fixed cubic Hermite — which went
     badly wrong when near-zero error estimates let dt grow without bound."""
-    a = _lagrange_system(s, k)  # (B, k, k)
     x_t = jnp.moveaxis(x, 0, -1)  # (B, T)
     b = jnp.stack(
         [x_t ** (j + 1) / (j + 1) for j in range(k)], axis=-2
     )  # (B, k, T)
-    return jnp.linalg.solve(a, b)  # (B, k, T)
+    return _bp_dual(s[:, :k], b)  # (B, k, T)
 
 
 def _combine(weights, fs, k):
@@ -117,9 +144,17 @@ def adams_odeint(
     dfactor: float = 0.2,
     unroll: str = "while",
     error_mask: jnp.ndarray | None = None,
+    max_order: int = 8,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Adaptive ABM solve over monotonic ``ts``; same contract as
-    :func:`..runge_kutta.adaptive_odeint`."""
+    :func:`..runge_kutta.adaptive_odeint`.  ``max_order`` caps the order
+    ramp (2..12; the reference's VCABM ramps to 12 — order > ~8 rarely pays
+    below f64 and costs history memory, hence the default)."""
+    if not 2 <= max_order <= _MAX_ORDER_CAP:
+        raise ValueError(
+            f"max_order must be in [2, {_MAX_ORDER_CAP}], got {max_order}"
+        )
+    _K = max_order
     dtype = y0.dtype
     batch, n = y0.shape
     n_out = ts.shape[0]

@@ -53,6 +53,7 @@ def odeint(
     unroll: str = "while",
     steps_per_interval: int = 1,
     error_mask: Any = None,
+    max_order: int = 8,
 ) -> tuple[Any, SolveStats]:
     """Solve ``dy/dt = func(t, y)`` from ``y0`` over times ``ts``.
 
@@ -79,6 +80,9 @@ def odeint(
       error_mask: optional pytree like ``y0`` with 0/1 leaves — adaptive error
         control restricted to the selected state entries (seminorm control;
         Kidger et al. 2020).
+      max_order: order-ramp ceiling for ``method='adams'`` (2..12; higher
+        order → fewer, more expensive steps at tight tolerances).  Ignored
+        by other methods.
 
     Returns:
       ys: pytree like ``y0`` with a new leading time axis ``T``.
@@ -177,6 +181,7 @@ def odeint(
             first_step=first_step,
             unroll=unroll,
             error_mask=flat_mask,
+            max_order=max_order,
         )
     else:
         ys, stats = fixed_grid_odeint(
