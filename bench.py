@@ -41,7 +41,10 @@ def parse_args(argv=None):
                    help="bfloat16 dynamics (default f32 for NFE parity)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas ODEfunc kernel")
-    p.add_argument("--cpu-batches", type=int, default=2)
+    p.add_argument("--cpu-batches", type=int, default=6,
+                   help="oracle batches for the vs_baseline denominator; "
+                        "the MEDIAN per-batch throughput is used (ADVICE r1: "
+                        "2 batches was a noisy denominator)")
     p.add_argument("--cpu-batch-size", type=int, default=32)
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--cpu", action="store_true",
@@ -142,6 +145,7 @@ def main(argv=None):
     ips = args.batch_size * args.iters / best_dt
 
     vs_baseline = None
+    cpu_ips = cpu_ips_spread = None
     if not args.skip_baseline:
         try:
             import torch
@@ -158,16 +162,35 @@ def main(argv=None):
             xc = torch.from_numpy(
                 x_np[: args.cpu_batch_size].transpose(0, 3, 1, 2)
             )
+            # Median per-batch throughput over several batches: robust to
+            # one-off host stalls in the round's most-quoted denominator.
+            batch_dts = []
             with torch.no_grad():
                 tm(xc, rtol=args.tol, atol=args.tol)  # warmup
-                t0 = time.perf_counter()
                 for _ in range(args.cpu_batches):
+                    t0 = time.perf_counter()
                     _, nfe_t = tm(xc, rtol=args.tol, atol=args.tol)
-                dt_cpu = time.perf_counter() - t0
-            cpu_ips = args.cpu_batch_size * args.cpu_batches / dt_cpu
+                    batch_dts.append(time.perf_counter() - t0)
+            per_batch_ips = args.cpu_batch_size / np.asarray(batch_dts)
+            cpu_ips = float(np.median(per_batch_ips))
+            cpu_ips_spread = [float(per_batch_ips.min()),
+                              float(per_batch_ips.max())]
             vs_baseline = ips / cpu_ips
         except Exception as e:  # torch missing or oracle failure
             print(f"baseline measurement failed: {e}", file=sys.stderr)
+
+    # Model-FLOPs utilisation (VERDICT r1 #9): useful FLOPs at the measured
+    # mean NFE over the chip's bf16 peak (utils/flops.py documents why bf16
+    # peak is the denominator for f32 too).
+    from neural_ode_features_tpu.utils import (
+        odenet_flops_per_image,
+        peak_flops_per_chip,
+    )
+
+    flops = odenet_flops_per_image(cfg, side, mean_nfe)
+    achieved = flops["total"] * ips  # FLOP/s (one chip)
+    peak = peak_flops_per_chip(jax.devices()[0].device_kind)
+    mfu = (achieved / peak) if peak else None
 
     shape_name = "mnist" if cfg.in_channels == 1 else "cifar10"
     result = {
@@ -181,6 +204,12 @@ def main(argv=None):
         "compute_dtype": cfg.compute_dtype,
         "pallas": args.pallas,
         "method": args.method,
+        "tflops": round(achieved / 1e12, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "cpu_ips": round(cpu_ips, 2) if cpu_ips else None,
+        "cpu_ips_spread": (
+            [round(v, 2) for v in cpu_ips_spread] if cpu_ips_spread else None
+        ),
     }
     print(json.dumps(result))
     return result

@@ -82,7 +82,8 @@ def init_odenet(key, cfg: ModelConfig):
     }
 
 
-def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool):
+def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
+           nfe_sink=None):
     """Run the ODE block over ``ts``; returns ((T, B, H, W, C), stats)."""
     if adjoint:
         # The adjoint differentiates the dynamics with jax.vjp — force the
@@ -107,6 +108,7 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool):
             adjoint_seminorm=cfg.adjoint_seminorm,
             adjoint_mode=cfg.adjoint_mode,
             dense_max_steps=min(cfg.max_steps, 256),
+            nfe_sink=nfe_sink,
         )
 
     def dyn_closed(t, y):
@@ -125,17 +127,21 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool):
 
 
 def odenet_logits(
-    params, x: jnp.ndarray, cfg: ModelConfig, *, adjoint: bool | None = None
+    params, x: jnp.ndarray, cfg: ModelConfig, *, adjoint: bool | None = None,
+    nfe_sink=None,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Classification forward: solve h over [0, 1], head on h(1).
 
     ``adjoint`` overrides ``cfg.adjoint`` (training wants the adjoint path,
-    inference the plain one).
+    inference the plain one).  ``nfe_sink`` (adjoint path only): scalar whose
+    gradient reports backward-solve NFE — see
+    :func:`..solver.adjoint.odeint_adjoint`.
     """
     adjoint = cfg.adjoint if adjoint is None else adjoint
     h0 = stem_apply(params["stem"], x, cfg)
     ts = jnp.asarray([0.0, 1.0], h0.dtype)
-    traj, stats = _solve(params, h0, ts, cfg, adjoint=adjoint)
+    traj, stats = _solve(params, h0, ts, cfg, adjoint=adjoint,
+                         nfe_sink=nfe_sink if adjoint else None)
     logits = head_apply(params["head"], traj[-1], cfg)
     return logits, stats
 

@@ -44,12 +44,17 @@ from .odeint import odeint
 
 __all__ = ["odeint_adjoint", "set_backward_nfe_tap"]
 
-# Optional observability hook: the reference logs NFE-backward per batch by
+# Backward-NFE observability: the reference logs NFE-backward per batch by
 # reading a mutable counter (train.py:~170, UNVERIFIED).  Functionally the
-# backward NFE is internal to the custom_vjp, so we expose it through an
-# explicit host tap: ``set_backward_nfe_tap(fn)`` makes every adjoint backward
-# pass call ``fn(total_backward_nfe)`` via ``io_callback``.  Leave unset (the
-# default) for zero overhead in benchmark/serving paths.
+# backward NFE is internal to the custom_vjp, exposed two ways:
+#
+#   1. ``nfe_sink`` side-channel (preferred, works on every backend): pass a
+#      scalar ``nfe_sink`` and differentiate w.r.t. it — its "gradient" IS the
+#      total backward-solve NFE (an f32 count, NOT a calculus derivative; the
+#      primal output never depends on the sink).  This is how train steps log
+#      nfe_b on TPU, where io_callback is unimplemented.
+#   2. ``set_backward_nfe_tap(fn)`` host tap via ``io_callback`` (legacy;
+#      CPU-only on axon).  Leave unset for zero overhead.
 _BACKWARD_NFE_TAP = None
 
 
@@ -86,7 +91,11 @@ _ADJOINT_ONLY_KEYS = ("adjoint_rtol", "adjoint_atol", "adjoint_max_steps",
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _odeint_adjoint(func, cfg, params, y0, ts):
+def _odeint_adjoint(func, cfg, params, y0, ts, nfe_sink):
+    # ``nfe_sink`` is a pure side-channel: the primal ignores it, but _bwd
+    # returns the total backward-solve NFE as its cotangent (see module
+    # comment above) so callers can observe nfe_b through jax.grad.
+    del nfe_sink
     kw = _thaw(cfg)
     for k in _ADJOINT_ONLY_KEYS:
         kw.pop(k, None)
@@ -94,7 +103,8 @@ def _odeint_adjoint(func, cfg, params, y0, ts):
     return ys, stats
 
 
-def _fwd(func, cfg, params, y0, ts):
+def _fwd(func, cfg, params, y0, ts, nfe_sink):
+    del nfe_sink
     kw = _thaw(cfg)
     if kw.get("adjoint_mode") == "interpolated" and ts.shape[0] >= 2:
         # Dense forward: same solver/tolerances, but keep every accepted
@@ -121,7 +131,7 @@ def _fwd(func, cfg, params, y0, ts):
         fwd_ok = jnp.all(stats.success)
         return (ys, stats), (params, y0, ts, ys,
                              (y_at.__wrapped_sol__, fwd_ok))
-    out = _odeint_adjoint(func, cfg, params, y0, ts)
+    out = _odeint_adjoint(func, cfg, params, y0, ts, jnp.zeros(()))
     ys, _stats = out
     return out, (params, y0, ts, ys, None)
 
@@ -220,7 +230,7 @@ def _bwd(func, cfg, residuals, cotangents):
         a_y = jax.tree.map(
             lambda g, z: z + g[0], g_ys, a_y0
         )
-        return a_p0, a_y, jnp.zeros_like(ts)
+        return a_p0, a_y, jnp.zeros_like(ts), jnp.zeros((), jnp.float32)
 
     def interval(carry, xs):
         a_y, a_p, a_t = carry
@@ -274,7 +284,11 @@ def _bwd(func, cfg, residuals, cotangents):
     poison = lambda g: jnp.where(all_ok, g, jnp.full_like(g, jnp.nan))
     a_p = jax.tree.map(poison, a_p)
     a_y = jax.tree.map(poison, a_y)
-    return a_p, a_y, poison(grad_ts)
+    # The sink cotangent is diagnostics, not a derivative: total backward
+    # dynamics evaluations, independent of the incoming cotangent scale.
+    # Deliberately NOT poisoned — it stays readable when a solve fails.
+    nfe_b_total = jnp.sum(nfe_b).astype(jnp.float32)
+    return a_p, a_y, poison(grad_ts), nfe_b_total
 
 
 _odeint_adjoint.defvjp(_fwd, _bwd)
@@ -299,6 +313,7 @@ def odeint_adjoint(
     adjoint_seminorm: bool = False,
     adjoint_mode: str = "reintegrate",
     dense_max_steps: int = 256,
+    nfe_sink: jnp.ndarray | None = None,
 ):
     """Like :func:`~.odeint.odeint` but differentiable w.r.t. ``params``,
     ``y0`` and ``ts`` via the augmented reverse-time adjoint ODE.
@@ -312,6 +327,18 @@ def odeint_adjoint(
     ``adjoint_seminorm=True`` restricts the
     backward error norm to the (y, a_y) columns — typically 20-60% fewer
     backward NFE at equal gradient quality (Kidger et al. 2020).
+
+    ``nfe_sink``: optional scalar side-channel for backward-NFE accounting
+    (the reference's ``nfe`` counter read after ``.backward()``,
+    train.py:~170 UNVERIFIED).  The primal output ignores it, but its
+    *cotangent* under ``jax.grad`` is the total number of backward dynamics
+    evaluations (f32 count, not a calculus derivative) — backend-portable,
+    unlike the legacy :func:`set_backward_nfe_tap` io_callback hook::
+
+        def loss(params, sink):
+            ys, _ = odeint_adjoint(f, params, y0, ts, nfe_sink=sink)
+            return ys[-1].sum()
+        grads, nfe_b = jax.grad(loss, argnums=(0, 1))(params, jnp.zeros(()))
 
     Returns ``(ys, SolveStats)``; the stats carry no gradient.
     """
@@ -332,4 +359,6 @@ def odeint_adjoint(
             dense_max_steps=dense_max_steps,
         )
     )
-    return _odeint_adjoint(func, cfg, params, y0, jnp.asarray(ts))
+    if nfe_sink is None:
+        nfe_sink = jnp.zeros(())
+    return _odeint_adjoint(func, cfg, params, y0, jnp.asarray(ts), nfe_sink)

@@ -12,8 +12,10 @@ mount, SURVEY.md §3.1), redesigned TPU-first:
   * gradients through the ODE block via the adjoint (default, O(1) memory)
     or direct backprop through a scan-unrolled solve (reference's default
     semantics; memory-hungry, mainly for tests/small runs);
-  * NFE-forward is carried functionally in the step outputs; NFE-backward
-    via the adjoint host tap (solver.set_backward_nfe_tap).
+  * NFE-forward AND NFE-backward are carried functionally in the step
+    outputs — nfe_b rides the adjoint's ``nfe_sink`` gradient side-channel
+    (solver/adjoint.py), so it is real on every backend (the axon TPU has
+    no io_callback).
 """
 
 from __future__ import annotations
@@ -175,11 +177,13 @@ class Trainer:
             x = augment(rng, x, pad=4, flip=flip)
         return x
 
-    def _loss_and_logits(self, params, x, labels):
+    def _loss_and_logits(self, params, nfe_sink, x, labels):
         cfg = self.model_cfg
         if self.cfg.model == "odenet":
             if self.cfg.adjoint:
-                logits, stats = odenet_logits(params, x, cfg, adjoint=True)
+                logits, stats = odenet_logits(
+                    params, x, cfg, adjoint=True, nfe_sink=nfe_sink
+                )
             else:
                 logits, stats = _direct_diff_logits(params, x, cfg)
             nfe = jnp.mean(stats.nfe.astype(jnp.float32))
@@ -191,15 +195,25 @@ class Trainer:
         ).mean()
         return loss, (logits, nfe)
 
+    def _grads(self, params, x, labels):
+        """Loss/grads plus backward-NFE: the sink's "gradient" is the adjoint
+        backward solve's total dynamics evaluations (0 for resnet / direct
+        backprop, which re-plays the forward tape instead of re-solving —
+        matching the reference's counter semantics, SURVEY.md §3.1)."""
+        (loss, (logits, nfe)), (grads, nfe_b) = jax.value_and_grad(
+            self._loss_and_logits, argnums=(0, 1), has_aux=True
+        )(params, jnp.zeros(()), x, labels)
+        return loss, logits, nfe, grads, nfe_b
+
     def _train_step_impl(self, params, opt_state, images_u8, labels, rng):
         x = self._preprocess(images_u8, rng, train=True)
-        (loss, (logits, nfe)), grads = jax.value_and_grad(
-            self._loss_and_logits, has_aux=True
-        )(params, x, labels)
+        loss, logits, nfe, grads, nfe_b = self._grads(params, x, labels)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        return params, opt_state, {"loss": loss, "acc": acc, "nfe": nfe}
+        return params, opt_state, {
+            "loss": loss, "acc": acc, "nfe": nfe, "nfe_b": nfe_b
+        }
 
     def _eval_step_impl(self, params, images_u8, labels, valid):
         x = self._preprocess(images_u8, None, train=False)
@@ -238,14 +252,12 @@ class Trainer:
             img = jax.lax.with_sharding_constraint(images[idx], dsh)
             lab = jax.lax.with_sharding_constraint(labels[idx], dsh)
             x = self._preprocess(img, sub, train=True)
-            (loss, (logits, nfe)), grads = jax.value_and_grad(
-                self._loss_and_logits, has_aux=True
-            )(params, x, lab)
+            loss, logits, nfe, grads, nfe_b = self._grads(params, x, lab)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             acc = jnp.mean((jnp.argmax(logits, -1) == lab).astype(jnp.float32))
             return (params, opt_state, rng), {
-                "loss": loss, "acc": acc, "nfe": nfe
+                "loss": loss, "acc": acc, "nfe": nfe, "nfe_b": nfe_b
             }
 
         (params, opt_state, _), metrics = jax.lax.scan(

@@ -7,9 +7,12 @@ from .checkpoint import (
     to_torch_state_dict,
 )
 from .expman import Experiment
+from .flops import odenet_flops_per_image, peak_flops_per_chip
 from .meters import AverageMeter, RunningAverageMeter, count_parameters
 
 __all__ = [
+    "odenet_flops_per_image",
+    "peak_flops_per_chip",
     "Experiment",
     "RunningAverageMeter",
     "AverageMeter",

@@ -223,3 +223,28 @@ def test_interpolated_adjoint_with_seminorm(setup):
         odeint_adjoint(_dynamics, p, y0, ts, **TOL)[0][-1] ** 2))(params))[0]
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-4,
                                atol=1e-7)
+
+
+def test_nfe_sink_side_channel(setup):
+    """The nfe_sink "gradient" is the backward-solve NFE: positive, integer-
+    valued, and invariant to the incoming cotangent scale (it is a count, not
+    a derivative) — the backend-portable replacement for the io_callback tap
+    (VERDICT r1 #7; reference logs nfe_b per batch, train.py:~170 UNVERIFIED).
+    """
+    params, y0, ts = setup
+
+    def loss(p, sink, scale):
+        ys, _ = odeint_adjoint(
+            _dynamics, p, y0, ts, nfe_sink=sink, **TOL
+        )
+        return scale * jnp.sum(ys[-1] ** 2)
+
+    (_, nfe_b1) = jax.grad(loss, argnums=(0, 1))(params, jnp.zeros(()), 1.0)
+    (_, nfe_b7) = jax.grad(loss, argnums=(0, 1))(params, jnp.zeros(()), 7.0)
+    assert float(nfe_b1) > 0
+    assert float(nfe_b1) == float(nfe_b7)  # count, not cotangent-scaled
+    assert float(nfe_b1) == int(nfe_b1)
+
+    # Default (no sink passed): public API unchanged, grads still flow.
+    g = jax.grad(_loss_adjoint)(params, y0, ts)
+    assert np.isfinite(jax.flatten_util.ravel_pytree(g)[0]).all()

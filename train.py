@@ -96,7 +96,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from neural_ode_features_tpu.data import Batches, load_dataset
-    from neural_ode_features_tpu.solver import set_backward_nfe_tap
     from neural_ode_features_tpu.training import TrainConfig, Trainer
     from neural_ode_features_tpu.utils import (
         Experiment,
@@ -168,17 +167,6 @@ def main(argv=None):
         print(f"resumed {state_path} at epoch {start_epoch} "
               f"(best so far {resumed_best:.4f})")
 
-    nfe_b_box = {"sum": 0.0, "n": 0}
-    # Backward-NFE logging needs jax io_callback, which some PJRT backends
-    # (the axon remote TPU here) don't implement — enable on CPU only.
-    if args.model == "odenet" and args.adjoint and (
-        jax.default_backend() == "cpu"
-    ):
-        def _tap(nfe):
-            nfe_b_box["sum"] += float(nfe)
-            nfe_b_box["n"] += 1
-        set_backward_nfe_tap(_tap)
-
     tb_writer = None
     if args.tensorboard:
         from clu import metric_writers
@@ -188,6 +176,10 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 1)
     best_acc = resumed_best
     loss_m, nfe_m = RunningAverageMeter(), RunningAverageMeter()
+    # Backward NFE arrives functionally in the step metrics (the adjoint's
+    # nfe_sink gradient side-channel) — real on TPU too, where the old
+    # io_callback tap was unimplemented.
+    nfe_b_m = RunningAverageMeter()
 
     profile_left = args.profile
     profile_started = False
@@ -195,13 +187,14 @@ def main(argv=None):
     use_fused = args.fused_epoch and not args.profile
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        nfe_b_box.update(sum=0.0, n=0)
+        nfe_b_m.reset()
         tr_acc_sum = tr_count = 0.0
         if use_fused:
             em = trainer.train_epoch(x_train, y_train, epoch)
             for i in range(len(em["loss"])):
                 loss_m.update(float(em["loss"][i]))
                 nfe_m.update(float(em["nfe"][i]))
+                nfe_b_m.update(float(em["nfe_b"][i]))
             tr_acc_sum = float(np.mean(em["acc"])) * args.batch_size * len(
                 em["acc"]
             )
@@ -223,6 +216,7 @@ def main(argv=None):
                         print(f"profile written to {exp.file('profile')}")
                 loss_m.update(float(m["loss"]))
                 nfe_m.update(float(m["nfe"]))
+                nfe_b_m.update(float(m["nfe_b"]))
                 tr_acc_sum += float(m["acc"]) * len(labels)
                 tr_count += len(labels)
         train_time = time.time() - t0
@@ -235,7 +229,7 @@ def main(argv=None):
             "train_loss": round(loss_m.avg, 6),
             "train_acc": round(tr_acc_sum / max(tr_count, 1), 6),
             "nfe_f": round(nfe_m.avg, 2),
-            "nfe_b": round(nfe_b_box["sum"] / max(nfe_b_box["n"], 1), 2),
+            "nfe_b": round(nfe_b_m.avg, 2),
             "time_s": round(train_time, 2),
             "test_loss": "",
             "test_acc": "",
