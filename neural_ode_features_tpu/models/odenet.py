@@ -56,12 +56,18 @@ def odefunc_apply(params, t, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
 
     With ``cfg.use_pallas`` (f32 only) the evaluation dispatches to the fused
     Pallas kernel (kernels/odefunc_pallas.py) — numerically equal, one
-    VMEM-resident block per RK stage."""
-    if cfg.use_pallas and cfg.compute_dtype == "float32":
-        from ..kernels.odefunc_pallas import odefunc_pallas, pallas_supported
+    VMEM-resident block per RK stage.  The dispatch goes through the
+    custom-VJP pair (fused backward kernel), so this path is differentiable:
+    both the adjoint's ``jax.vjp`` and direct backprop run fused kernels."""
+    if (cfg.use_pallas and cfg.compute_dtype == "float32"
+            and h.dtype == jnp.float32):  # kernel contract is f32 end-to-end
+        from ..kernels.odefunc_pallas import (
+            odefunc_pallas_vjp,
+            pallas_supported,
+        )
 
         if pallas_supported(h, cfg.groups):
-            return odefunc_pallas(params, t, h, groups=cfg.groups)
+            return odefunc_pallas_vjp(params, t, h, cfg.groups, None)
     g = cfg.groups
     dtype = cfg.cdtype
     h = h.astype(dtype)
@@ -86,14 +92,11 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
            nfe_sink=None):
     """Run the ODE block over ``ts``; returns ((T, B, H, W, C), stats)."""
     if adjoint:
-        # The adjoint differentiates the dynamics with jax.vjp — force the
-        # differentiable jnp path (the Pallas kernel is forward-only).
-        import dataclasses as _dc
-
-        cfg_d = _dc.replace(cfg, use_pallas=False)
-
+        # The adjoint differentiates the dynamics with jax.vjp; the Pallas
+        # path is differentiable through its custom-VJP kernel pair, so no
+        # jnp fallback is forced (cfg.use_pallas applies to both directions).
         def dyn(p, t, y):
-            return odefunc_apply(p, t, y, cfg_d)
+            return odefunc_apply(p, t, y, cfg)
 
         return odeint_adjoint(
             dyn,

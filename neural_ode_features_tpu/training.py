@@ -98,10 +98,11 @@ def _model_fns(train_cfg: TrainConfig):
 
 def _direct_diff_logits(params, x, cfg: ModelConfig):
     """Reference-default gradient semantics: direct backprop through the
-    (scan-unrolled, reverse-differentiable) adaptive solve."""
+    (scan-unrolled, reverse-differentiable) adaptive solve.  The Pallas
+    dynamics are differentiable (custom-VJP kernel pair), so cfg.use_pallas
+    is honoured here too."""
     from .models.common import head_apply, stem_apply
 
-    cfg = dataclasses.replace(cfg, use_pallas=False)  # must be differentiable
     h0 = stem_apply(params["stem"], x, cfg)
     ts = jnp.asarray([0.0, 1.0], h0.dtype)
     traj, stats = odeint(
