@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.layers import (
-    concat_time_channel,
-    conv2d,
+    concat_conv2d,
     group_norm,
     init_conv,
     init_group_norm,
@@ -72,9 +71,9 @@ def odefunc_apply(params, t, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     dtype = cfg.cdtype
     h = h.astype(dtype)
     out = jax.nn.relu(group_norm(params["norm1"], h, groups=g))
-    out = conv2d(params["conv1"], concat_time_channel(t, out), padding=1)
+    out = concat_conv2d(params["conv1"], t, out, padding=1)
     out = jax.nn.relu(group_norm(params["norm2"], out, groups=g))
-    out = conv2d(params["conv2"], concat_time_channel(t, out), padding=1)
+    out = concat_conv2d(params["conv2"], t, out, padding=1)
     out = group_norm(params["norm3"], out, groups=g)
     return out.astype(jnp.float32)
 

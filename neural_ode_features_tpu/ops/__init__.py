@@ -1,6 +1,7 @@
 """Low-level functional ops: layers and on-device preprocessing."""
 
 from .layers import (
+    concat_conv2d,
     concat_time_channel,
     conv2d,
     global_avg_pool,
@@ -16,6 +17,7 @@ __all__ = [
     "group_norm",
     "linear",
     "global_avg_pool",
+    "concat_conv2d",
     "concat_time_channel",
     "init_conv",
     "init_group_norm",

@@ -65,7 +65,12 @@ def test_loaded_checkpoint_reproduces_logits(tmp_path):
     save_checkpoint(tmp_path / "c.msgpack", params, cfg)
     params2, cfg2, _ = load_checkpoint(tmp_path / "c.msgpack")
     out, _ = odenet_logits(params2, x, cfg2)
-    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    # ULP-tight, not bitwise: loaded params are host numpy arrays, and the
+    # split ConcatConv's ones-map conv can pick a different lowering for
+    # host-sourced operands (measured max |Δ| ≈ 2e-7).  Checkpoint fidelity
+    # (same weights → same function) is what this pins.
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=5e-7)
 
 
 def test_expman_run_dirs(tmp_path):
