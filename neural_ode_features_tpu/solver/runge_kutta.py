@@ -174,15 +174,17 @@ def _dense_write(fit, data, ts, t0, t1, dt, direction, accept, out):
     which would leave ``out[j]`` permanently at its zeros initialisation.
     The evaluation coordinate is clamped to [0, 1] for the same reason.
 
-    fit: (D+1, D+1) collocation matrix; data: (D+1, B, N); out: (T, B, N).
+    fit: (D+1, D+1) collocation matrix; data: (D+1, B, N); out: the carried
+    (T-1, B, N) buffer for ts[1:] (ts[0] ≡ y0 lives outside the loop).
     """
+    ts_tail = ts[1:]
     coeffs = jnp.einsum("cd,dbn->cbn", fit, data)
     covered = (
         accept[None, :]
-        & (direction * (ts[:, None] - t0[None, :]) > 0.0)
-        & (direction * (ts[:, None] - t1[None, :]) <= 0.0)
+        & (direction * (ts_tail[:, None] - t0[None, :]) > 0.0)
+        & (direction * (ts_tail[:, None] - t1[None, :]) <= 0.0)
     )
-    x = jnp.clip((ts[:, None] - t0[None, :]) / dt[None, :], 0.0, 1.0)
+    x = jnp.clip((ts_tail[:, None] - t0[None, :]) / dt[None, :], 0.0, 1.0)
     vals = _polyval(coeffs, x[:, :, None])
     return jnp.where(covered[:, :, None], vals, out)
 
@@ -294,7 +296,12 @@ def adaptive_odeint(
     else:
         dt0 = jnp.full((batch,), first_step, dtype) * direction
 
-    out0 = jnp.zeros((n_out, batch, n), dtype).at[0].set(y0)
+    # The carried output buffer holds only ts[1:]: ts[0] is y0 by definition
+    # and the coverage test (strict ``ts > t0``) can never write it, so
+    # carrying it would add (B, N) of dead where/copy traffic to every loop
+    # iteration — measurable at B=1024, where the solver's (B, N) linear
+    # algebra (not the convs) is the HBM-bound half of solve time.
+    out0 = jnp.zeros((n_out - 1, batch, n), dtype)
 
     carry0 = _Carry(
         t=t0,
@@ -372,4 +379,5 @@ def adaptive_odeint(
         nreject=final.nreject,
         success=final.done,
     )
-    return final.out, stats
+    ys = jnp.concatenate([y0[None], final.out], axis=0)
+    return ys, stats
