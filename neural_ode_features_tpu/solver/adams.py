@@ -28,10 +28,15 @@ UNVERIFIED, empty mount, SURVEY.md §2.2), redesigned for one on-device
     a fixed lower-order Hermite diverged on polynomial dynamics where
     near-zero error estimates let dt grow without bound.
 
-Deviation from the reference: the order ramp is monotone (no adaptive
-order *decrease*); the step controller absorbs any high-order stability
-penalty via rejections.  Measured: order 8 beats order 4 on NFE at tight
-tolerances (tests/test_adams.py).
+Order selection (round 2): like the reference's VCABM, the working order is
+chosen *adaptively per sample* — each step evaluates the Milne error ratio
+at orders (k−1, k, k+1) (all orders' predictors/correctors are computed
+anyway for the fixed-shape ramp selects) and moves to whichever is
+smallest, capped by available history.  This is the adaptive order
+*decrease* round 1 lacked; the step controller still absorbs stability
+penalties via rejections.  Measured: order 8 beats order 4 on NFE at tight
+tolerances, and down-selection keeps order 12 from overstepping
+(tests/test_adams.py).
 """
 
 from __future__ import annotations
@@ -61,6 +66,7 @@ class _Carry(NamedTuple):
     hist_t: jnp.ndarray  # (B, K) node times, newest first (hist_t[:,0] == t)
     hist_f: jnp.ndarray  # (B, K, N) dynamics at the nodes
     nhist: jnp.ndarray  # (B,) valid node count (>= 1)
+    order: jnp.ndarray  # (B,) working predictor order (1..K), VCABM-style
     out: jnp.ndarray  # (T, B, N)
     nfe: jnp.ndarray
     naccept: jnp.ndarray
@@ -182,6 +188,7 @@ def adams_odeint(
         t=t0, dt=dt0, y=y0,
         hist_t=hist_t0, hist_f=hist_f0,
         nhist=jnp.ones((batch,), jnp.int32),
+        order=jnp.ones((batch,), jnp.int32),
         out=out0, nfe=nfe0,
         naccept=jnp.zeros((batch,), jnp.int32),
         nreject=jnp.zeros((batch,), jnp.int32),
@@ -208,14 +215,15 @@ def adams_odeint(
             col < c.nhist[:, None], s_raw, -(col.astype(dtype) + 1.0)
         )
 
-        # --- Predict: AB-k over available history, k ramps with nhist ---
+        # --- Predict: AB-k at the per-sample working order (≤ history) ---
+        k_pred = jnp.minimum(c.order, jnp.minimum(c.nhist, _K))
         pred_k = [None] * (_K + 1)
         for k in range(1, _K + 1):
             w = _integration_weights(s_hist, k)
             pred_k[k] = y + dt_col * _combine(w, c.hist_f, k)
         y_pred = pred_k[1]
         for k in range(2, _K + 1):
-            y_pred = jnp.where((c.nhist >= k)[:, None], pred_k[k], y_pred)
+            y_pred = jnp.where((k_pred >= k)[:, None], pred_k[k], y_pred)
 
         f_pred = func(t1, y_pred)
 
@@ -228,27 +236,64 @@ def adams_odeint(
         f_corr_nodes = jnp.concatenate(
             [f_pred[:, None, :], c.hist_f[:, : _K - 1]], axis=1
         )
+        k_corr = jnp.minimum(k_pred + 1, _K)
         corr_k = [None] * (_K + 1)
         for k in range(2, _K + 1):
             w = _integration_weights(s_corr, k)
             corr_k[k] = y + dt_col * _combine(w, f_corr_nodes, k)
         y_corr = corr_k[2]
         for k in range(3, _K + 1):
-            y_corr = jnp.where((c.nhist >= k - 1)[:, None], corr_k[k], y_corr)
+            y_corr = jnp.where((k_corr >= k)[:, None], corr_k[k], y_corr)
 
         f_new = func(t1, y_corr)
 
-        # --- Milne-device error estimate + controller ---
-        err = y_corr - y_pred
-        ratio = _error_ratio(err, y, y_corr, rtol, atol, error_mask)
+        # --- Milne error ratios at EVERY order (for VCABM order selection:
+        # the per-order predictors/correctors are already computed for the
+        # fixed-shape selects, so this costs only K extra (B, N) reductions,
+        # no dynamics evals).  ratio_all[m-1] = ratio at predictor order m.
+        ratio_all = jnp.stack(
+            [
+                _error_ratio(
+                    corr_k[min(m + 1, _K)] - pred_k[m], y, y_corr, rtol,
+                    atol, error_mask,
+                )
+                for m in range(1, _K + 1)
+            ]
+        )  # (_K, B)
+        max_valid = jnp.minimum(c.nhist, _K)  # orders with real history
+        m_idx = jnp.arange(1, _K + 1, dtype=jnp.int32)[:, None]
+        inf = jnp.asarray(jnp.inf, ratio_all.dtype)
+        ratio_all = jnp.where(m_idx <= max_valid[None, :], ratio_all, inf)
+
+        def take_order(o):  # ratio at per-sample order o: (B,)
+            return jnp.take_along_axis(
+                ratio_all, (o - 1)[None, :], axis=0
+            )[0]
+
+        ratio = take_order(k_pred)
         accept = (ratio <= 1.0) & active
+
+        # --- VCABM-style order update (on accept): move toward whichever
+        # of {k−1, k, k+1} has the smallest Milne ratio; the +1 candidate
+        # also ramps the startup (history permitting).
+        k_lo = jnp.maximum(k_pred - 1, 1)
+        k_hi = jnp.minimum(k_pred + 1, _K)
+        r_lo, r_cur, r_hi = take_order(k_lo), ratio, take_order(k_hi)
+        best = jnp.where(
+            (r_hi < r_cur) & (r_hi <= r_lo), k_hi,
+            jnp.where(r_lo < r_cur, k_lo, k_pred),
+        )
+        new_order = jnp.where(accept, best, c.order)
+
         # Controller exponent = the power the Milne error estimate scales
-        # with: the predictor's local error order, k+1 (so 5 at full
-        # history, matching how the RK path passes its estimate order).
-        order = jnp.minimum(c.nhist + 1, _K + 1).astype(dtype)
+        # with: the predictor's local error order, k+1 (so 9 at full
+        # order-8 history, matching how the RK path passes its estimate
+        # order).
+        order_f = (k_pred + 1).astype(dtype)
         new_dt = jnp.where(
             active,
-            _optimal_dt(dt, ratio, accept, order, safety, ifactor, dfactor),
+            _optimal_dt(dt, ratio, accept, order_f, safety, ifactor,
+                        dfactor),
             dt,
         )
 
@@ -273,7 +318,7 @@ def adams_odeint(
                 y_int = cand
             else:
                 y_int = jnp.where(
-                    (c.nhist >= k - 1)[None, :, None], cand, y_int
+                    (k_corr >= k)[None, :, None], cand, y_int
                 )
         out = jnp.where(covered[:, :, None], y_int, c.out)
 
@@ -298,6 +343,7 @@ def adams_odeint(
             hist_t=new_hist_t,
             hist_f=new_hist_f,
             nhist=jnp.where(accept, jnp.minimum(c.nhist + 1, _K), c.nhist),
+            order=new_order,
             out=out,
             nfe=c.nfe + jnp.where(active, 2, 0),
             naccept=c.naccept + accept.astype(jnp.int32),

@@ -159,3 +159,22 @@ def test_max_order_validation():
     for bad in (1, 13):
         with pytest.raises(ValueError, match="max_order"):
             odeint(P.SINE.func, y0, ts, method="adams", max_order=bad)
+
+
+def test_order12_no_longer_oversteps():
+    """VCABM order selection (round 2): with the adaptive order decrease,
+    max_order=12 must be at least as step-efficient as max_order=8 at tight
+    tolerance — under round 1's monotone ramp it overstepped and LOST
+    (documented deviation, now closed).  Reference: torchdiffeq VCABM order
+    selection (SURVEY.md §2.2, UNVERIFIED)."""
+    from problems import SINE
+
+    y0 = jnp.asarray(SINE.y0)
+    ts = jnp.asarray([0.0, 2.0])
+    nfe = {}
+    for mo in (8, 12):
+        _, st = odeint(SINE.func, y0, ts, rtol=1e-10, atol=1e-10,
+                       method="adams", max_order=mo, max_steps=2**14)
+        assert bool(np.all(st.success))
+        nfe[mo] = int(st.nfe[0])
+    assert nfe[12] <= nfe[8] * 1.1, nfe
