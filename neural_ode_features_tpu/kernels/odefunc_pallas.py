@@ -284,7 +284,9 @@ def _concat_conv3x3_bwd(g, src, t_col, w):
         dw.append(row)
     dW = jnp.stack([jnp.stack(r) for r in dw])  # (3, 3, C+1, C)
     db = jnp.sum(g_flat, axis=0)
-    d_t = jnp.sum(dht[..., 0], axis=(1, 2))  # (TB,)
+    # Keep a trailing size-1 axis: Mosaic rejects reductions over both
+    # trailing dims unless the result ends in a 1-axis (hardware-measured).
+    d_t = jnp.sum(dht[..., :1], axis=(1, 2))  # (TB, 1)
     d_src = dht[..., 1:]
     return d_src, d_t, dW, db
 
@@ -357,7 +359,7 @@ def _odefunc_bwd_kernel(
     dh = _gn_dx(g_y1 * n1s, xh1, inv1, groups)
 
     dx_ref[:] = dh.astype(dx_ref.dtype)
-    dt_ref[:] = (dt1 + dt2)[:, None].astype(dt_ref.dtype)
+    dt_ref[:] = (dt1 + dt2).astype(dt_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "interpret"))
