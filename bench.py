@@ -12,28 +12,72 @@ weights — the BASELINE.md "oracle-derived" protocol (the real reference
 repo's code is unavailable: empty mount, zero egress; SURVEY.md §0).
 North-star target: ratio ≥ 10 (BASELINE.json).
 
+Capture hardening (VERDICT r2 #1/#4/#5 — round 2's driver artifact was
+rc=124/parsed=null because a stalled TPU-tunnel dispatch produced no output
+for ≥9 min):
+
+* **Supervisor + retry.** By default ``main()`` runs the measurement in a
+  child process (``BENCH_INNER=1``).  If the child stalls past its budget it
+  is killed and retried ONCE; if that fails too, the supervisor emits the
+  best partial JSON recorded so far with ``"incomplete": true``.  Something
+  parseable is printed on every path.
+* **Deadline.** ``BENCH_DEADLINE_S`` (default 480 s) bounds the whole run;
+  the child also runs an internal watchdog thread that dumps partial JSON
+  and exits just before its own budget expires (belt and braces — works
+  even when bench is invoked with ``BENCH_INNER=1`` directly).
+* **Persistent compile cache** at ``.jax_cache/`` so warm reruns skip the
+  1-8 min TPU compile.
+* **Timestamped stderr progress** at every stage so a killed run's tail is
+  diagnosable.
+* **Variance discipline.**  Per-repetition throughputs are reported as
+  ``value`` (best-of, the round-1/2 headline semantics) plus
+  ``value_median`` and ``value_band`` [min, max].
+* **Hardened CPU denominator.**  torch threads pinned (1-CPU box),
+  ``cpu_ips`` is the best per-batch throughput (capacity estimate — the
+  conservative choice for ``vs_baseline`` and far more stable under host
+  load than a median that collapses when the single core is shared);
+  the median/spread and 1-min load average are recorded, and a degenerate
+  spread (>4x min-to-max after the best-of protocol) nulls ``vs_baseline``
+  with an explicit reason instead of publishing a meaningless ratio.
+
 Flags let the driver/judge vary batch size, dtype and sample counts;
-defaults keep total runtime ≈2-4 min including TPU compilation.
+defaults keep total runtime well under the deadline on a warm cache.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+
+
+def log(msg: str) -> None:
+    """Timestamped progress line on stderr (flushed immediately)."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--iters", type=int, default=32)
-    p.add_argument("--warmup", type=int, default=4,
-                   help="timing repetitions (best-of); ≥4 damps the "
-                        "chip/tunnel contention band, measured 64-131k "
-                        "img/s for identical work")
+    p.add_argument("--repeats", type=int, default=6,
+                   help="timing repetitions; value=best-of, plus "
+                        "value_median / value_band over the repetitions "
+                        "(the chip/tunnel contention band was measured at "
+                        "64-176k img/s for identical work)")
+    p.add_argument("--warmup", type=int, default=None,
+                   help="deprecated alias for --repeats")
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--method", default="dopri5",
                    help="adaptive solver (dopri5/tsit5/bosh3/adams/...)")
@@ -44,6 +88,9 @@ def parse_args(argv=None):
                    help="bfloat16 dynamics (default f32 for NFE parity)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas ODEfunc kernel")
+    p.add_argument("--fused-rk", action="store_true",
+                   help="fused Pallas RK-step kernel (whole dopri5 step "
+                        "VMEM-resident)")
     p.add_argument("--pool", type=int, default=0,
                    help="stream a pool of POOL DISTINCT images through "
                         "batch-size batches (rounded up to a multiple) "
@@ -59,18 +106,224 @@ def parse_args(argv=None):
                         "included in the reported throughput")
     p.add_argument("--cpu-batches", type=int, default=6,
                    help="oracle batches for the vs_baseline denominator; "
-                        "the MEDIAN per-batch throughput is used (ADVICE r1: "
-                        "2 batches was a noisy denominator)")
+                        "the BEST per-batch throughput is used as the "
+                        "capacity estimate (stable under load on this "
+                        "1-CPU box; median+spread also reported)")
     p.add_argument("--cpu-batch-size", type=int, default=32)
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="run the JAX side on CPU too (debug)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.warmup is not None:
+        args.repeats = max(args.repeats, args.warmup)
+    return args
 
 
-def main(argv=None):
+# ---------------------------------------------------------------------------
+# Partial-result plumbing: the inner process keeps PARTIAL up to date after
+# every milestone and mirrors it to BENCH_PARTIAL_PATH so the supervisor can
+# salvage a killed run.
+# ---------------------------------------------------------------------------
+
+PARTIAL: dict = {
+    "metric": "images_per_sec_per_chip_cifar10_odenet_inference_rtol1e-3",
+    "value": None,
+    "unit": "img/s/chip",
+    "vs_baseline": None,
+    "incomplete": True,
+    "stage": "start",
+}
+_PARTIAL_LOCK = threading.Lock()
+
+
+def milestone(stage: str, **updates) -> None:
+    with _PARTIAL_LOCK:
+        PARTIAL["stage"] = stage
+        PARTIAL.update(updates)
+        snapshot = dict(PARTIAL)
+    log(f"milestone: {stage}")
+    path = os.environ.get("BENCH_PARTIAL_PATH")
+    if path:
+        try:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snapshot, f)
+            os.replace(tmp, path)
+        except OSError as e:  # never let bookkeeping kill the bench
+            log(f"partial-file write failed: {e}")
+
+
+def _start_watchdog(deadline_s: float) -> None:
+    """Daemon thread: if the measurement outlives its budget (e.g. a hung
+    TPU-tunnel dispatch that no in-process mechanism can interrupt), print
+    the current partial JSON and hard-exit so *something* parseable always
+    reaches stdout."""
+
+    def fire():
+        time.sleep(deadline_s)
+        with _PARTIAL_LOCK:
+            snapshot = dict(PARTIAL)
+        snapshot["incomplete"] = True
+        snapshot["watchdog_fired_after_s"] = round(deadline_s, 1)
+        log(f"WATCHDOG: deadline {deadline_s:.0f}s hit at stage "
+            f"'{snapshot.get('stage')}' — emitting partial JSON")
+        print(json.dumps(snapshot), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
+# ---------------------------------------------------------------------------
+# Supervisor: run the measurement in a child, retry once on stall, always
+# print a JSON line.
+# ---------------------------------------------------------------------------
+
+def supervise(argv) -> dict:
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+    partial_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_partial_{os.getpid()}.json"
+    )
+    child_argv = list(argv) if argv is not None else sys.argv[1:]
+
+    # The child runs detached (start_new_session — see below), so an external
+    # SIGTERM/SIGINT to this supervisor must not orphan it on the chip.
+    import signal
+
+    live_child: list = []
+
+    def _reap(signum, frame):
+        for c in live_child:
+            try:
+                c.kill()
+            except OSError:
+                pass
+        os._exit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _reap)
+
+    def remaining():
+        return deadline - (time.monotonic() - _T0)
+
+    best_partial = None
+    for attempt in (1, 2):
+        budget = remaining() - 8  # leave room to salvage + print
+        if budget < 12:
+            log(f"attempt {attempt}: only {budget:.0f}s left — skipping")
+            break
+        if attempt == 1 and budget > 150:
+            # Keep a real slice of the deadline for the retry.
+            budget = max(budget * 0.62, budget - 170)
+        env = dict(os.environ,
+                   BENCH_INNER="1",
+                   BENCH_PARTIAL_PATH=partial_path,
+                   BENCH_CHILD_DEADLINE_S=str(max(budget - 6, 8)))
+        log(f"attempt {attempt}: budget {budget:.0f}s "
+            f"(deadline {deadline:.0f}s)")
+        # start_new_session=True is LOAD-BEARING: the axon TPU tunnel's
+        # first device->host fetch takes 60-300+ s (vs ~1 s) when the
+        # client shares a session/process group with a python parent —
+        # measured minimally this round (same op: 283 s in-pgid vs 1.2 s
+        # with a fresh session).  This is the root cause of the round-2
+        # driver's rc=124/no-output bench artifact.  The supervisor itself
+        # never touches the TPU, so it insulates the measurement from
+        # however the caller spawned *us*.
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *child_argv],
+            stdout=subprocess.PIPE, stderr=sys.stderr, env=env, text=True,
+            start_new_session=True,
+        )
+        live_child[:] = [child]
+        try:
+            out, _ = child.communicate(timeout=budget)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.communicate()
+            log(f"attempt {attempt}: child stalled past {budget:.0f}s budget "
+                f"— killed (tunnel hang?); "
+                + ("retrying once" if attempt == 1 else "giving up"))
+            continue
+        except BaseException:
+            child.kill()  # never leave a detached child holding the chip
+            child.communicate()
+            raise
+        parsed = None
+        for line in reversed((out or "").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                break
+        if parsed is not None and not parsed.get("incomplete"):
+            print(json.dumps(parsed), flush=True)
+            return parsed
+        if parsed is not None:
+            # Child's own watchdog fired (e.g. a stalled compile): keep the
+            # partial as a fallback but retry for a complete result — the
+            # observed tunnel-hang failure mode resolves on a fresh process.
+            best_partial = parsed
+            log(f"attempt {attempt}: child returned INCOMPLETE JSON at "
+                f"stage '{parsed.get('stage')}'"
+                + (" — retrying once" if attempt == 1 else ""))
+        else:
+            log(f"attempt {attempt}: child exited rc={child.returncode} with"
+                " no JSON line"
+                + (" — retrying once" if attempt == 1 else ""))
+
+    # Salvage: best partial the child managed to record, else the skeleton.
+    result = dict(PARTIAL)
+    try:
+        with open(partial_path) as f:
+            result = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    if best_partial is not None and (result.get("value") is None
+                                     or best_partial.get("value")):
+        result = best_partial
+    result["incomplete"] = True
+    result.setdefault("stage", "no-attempt")
+    log(f"emitting salvaged partial JSON (stage={result.get('stage')})")
+    print(json.dumps(result), flush=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# The measurement itself (runs in the child / BENCH_INNER process).
+# ---------------------------------------------------------------------------
+
+def inner_main(argv=None):
     args = parse_args(argv)
+    child_deadline = os.environ.get("BENCH_CHILD_DEADLINE_S")
+    if child_deadline:
+        _start_watchdog(float(child_deadline))
+    if os.environ.get("BENCH_DEBUG_STACKS"):
+        import faulthandler
+
+        faulthandler.dump_traceback_later(
+            int(os.environ["BENCH_DEBUG_STACKS"]), repeat=True,
+            file=sys.stderr)
+
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    milestone("import-jax", host_load_1min=load1)
+
     import jax
+
+    # Persistent compilation cache: warm reruns skip the 1-8 min compile.
+    # TPU-only: the XLA:CPU AOT cache loader warns about machine-feature
+    # mismatches on this host (SIGILL risk) and CPU compiles are cheap.
+    if not args.cpu:
+        try:
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception as e:
+            log(f"compile cache unavailable: {e}")
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -84,40 +337,132 @@ def main(argv=None):
 
     import dataclasses
 
-    if args.run:
-        from pathlib import Path
+    # Parameters are built ON THE CPU BACKEND so the torch-oracle baseline
+    # below can run before the first TPU contact: axon first-contact latency
+    # measured anywhere from 0.9 s to >340 s this round, so every
+    # TPU-independent number must land in the partial record first.
+    cpu_dev = jax.devices("cpu")[0]
+    with jax.default_device(cpu_dev):
+        if args.run:
+            from pathlib import Path
 
-        from neural_ode_features_tpu.utils import load_checkpoint
+            from neural_ode_features_tpu.utils import load_checkpoint
 
-        run = Path(args.run)
-        ckpt = run / "ckpt_best.msgpack" if run.is_dir() else run
-        params, cfg0, _ = load_checkpoint(ckpt)
-        cfg = dataclasses.replace(
-            cfg0,
-            tol=args.tol,
-            method=args.method,
-            error_control="per_sample",
-            adjoint=False,
-            compute_dtype="bfloat16" if args.bf16 else cfg0.compute_dtype,
-            use_pallas=args.pallas,
-        )
-    else:
-        cfg = ModelConfig(
-            in_channels=3,
-            tol=args.tol,
-            method=args.method,
-            error_control="per_sample",
-            compute_dtype="bfloat16" if args.bf16 else "float32",
-            use_pallas=args.pallas,
-        )
-        params = init_odenet(jax.random.PRNGKey(7), cfg)
+            run = Path(args.run)
+            ckpt = run / "ckpt_best.msgpack" if run.is_dir() else run
+            params, cfg0, _ = load_checkpoint(ckpt)
+            cfg = dataclasses.replace(
+                cfg0,
+                tol=args.tol,
+                method=args.method,
+                error_control="per_sample",
+                adjoint=False,
+                compute_dtype="bfloat16" if args.bf16 else cfg0.compute_dtype,
+                use_pallas=args.pallas,
+                use_fused_rk=args.fused_rk,
+            )
+        else:
+            cfg = ModelConfig(
+                in_channels=3,
+                tol=args.tol,
+                method=args.method,
+                error_control="per_sample",
+                compute_dtype="bfloat16" if args.bf16 else "float32",
+                use_pallas=args.pallas,
+                use_fused_rk=args.fused_rk,
+            )
+            params = init_odenet(jax.random.PRNGKey(7), cfg)
+        params = jax.device_get(params)  # plain numpy pytree
 
     rng = np.random.default_rng(0)
     side = 28 if cfg.in_channels == 1 else 32
     x_np = rng.normal(
         size=(args.batch_size, side, side, cfg.in_channels)
     ).astype(np.float32)
-    x = jnp.asarray(x_np)
+
+    # --- CPU-oracle denominator FIRST (no TPU dependency) ------------------
+    vs_baseline = None
+    baseline_note = None
+    cpu_ips = cpu_ips_median = cpu_ips_spread = None
+    if not args.skip_baseline:
+        try:
+            import torch
+
+            from neural_ode_features_tpu.oracle.torch_ref import (
+                build_torch_odenet,
+                load_jax_params_into_torch,
+            )
+
+            # Pin threads explicitly (VERDICT r2 weak #2): this box has ONE
+            # CPU; an unpinned default can still oversubscribe via inter-op
+            # pools and the measured spread was [16.8, 89.9] img/s under
+            # load.
+            torch.set_num_threads(1)
+            try:
+                torch.set_num_interop_threads(1)
+            except RuntimeError:
+                pass  # already initialised
+            tm = build_torch_odenet(in_channels=cfg.in_channels)
+            load_jax_params_into_torch(tm, params)
+            tm.eval()
+            xc = torch.from_numpy(
+                x_np[: args.cpu_batch_size].transpose(0, 3, 1, 2)
+            )
+            # BEST per-batch throughput = capacity estimate.  Under host
+            # load the per-batch times are contaminated upward by scheduler
+            # sharing; the fastest batch is the least-contaminated sample
+            # and is the CONSERVATIVE choice for vs_baseline (largest
+            # denominator).  Median + spread still reported for diagnosis.
+            batch_dts = []
+            with torch.no_grad():
+                tm(xc, rtol=args.tol, atol=args.tol)  # warmup
+                for i in range(args.cpu_batches):
+                    t0 = time.perf_counter()
+                    _, nfe_t = tm(xc, rtol=args.tol, atol=args.tol)
+                    batch_dts.append(time.perf_counter() - t0)
+            per_batch_ips = args.cpu_batch_size / np.asarray(batch_dts)
+            cpu_ips = float(per_batch_ips.max())
+            cpu_ips_median = float(np.median(per_batch_ips))
+            cpu_ips_spread = [float(per_batch_ips.min()),
+                              float(per_batch_ips.max())]
+            if cpu_ips_spread[1] / max(cpu_ips_spread[0], 1e-9) > 4.0:
+                # Even best-of can't be trusted when every sample was taken
+                # on a thrashing host; refuse to publish the ratio.
+                baseline_note = (
+                    "degenerate spread "
+                    f"{[round(v, 1) for v in cpu_ips_spread]} img/s "
+                    "(host under load) — vs_baseline withheld"
+                )
+                log(f"baseline: {baseline_note}")
+            milestone("baseline-done",
+                      cpu_ips=round(cpu_ips, 2),
+                      cpu_ips_median=round(cpu_ips_median, 2),
+                      cpu_ips_spread=[round(v, 2) for v in cpu_ips_spread])
+        except Exception as e:  # torch missing or oracle failure
+            baseline_note = f"baseline measurement failed: {e}"
+            log(baseline_note)
+
+    x = jnp.asarray(x_np)  # first TPU contact starts here
+    params = jax.device_put(params)  # once — not per timing rep
+
+    shape_name = "mnist" if cfg.in_channels == 1 else "cifar10"
+    suffix = ""
+    if args.pool:
+        n_batches = -(-args.pool // args.batch_size)
+        suffix = f"_pool{n_batches * args.batch_size}" + (
+            "_nfesort" if args.nfe_sort else ""
+        )
+    milestone(
+        "model-ready",
+        metric=(f"images_per_sec_per_chip_{shape_name}"
+                f"_odenet_inference_rtol1e-3{suffix}"),
+        batch_size=args.batch_size,
+        backend=jax.default_backend(),
+        compute_dtype=cfg.compute_dtype,
+        pallas=args.pallas,
+        fused_rk=args.fused_rk,
+        method=args.method,
+    )
 
     # The whole timing loop runs inside ONE jitted lax.scan dispatch: on this
     # machine the remote-TPU tunnel costs ~0.6 s per dispatch, which would
@@ -132,8 +477,11 @@ def main(argv=None):
     t0 = time.perf_counter()
     float(jax.device_get(null(jnp.zeros(()))))
     overhead = time.perf_counter() - t0
+    milestone("null-dispatch", dispatch_overhead_s=round(overhead, 3))
 
+    reps = max(args.repeats, 2)
     pool_extra = {}
+    rep_ips: list[float] = []
     if args.pool:
         # Pool protocol (VERDICT r1 #3): stream DISTINCT images so per-sample
         # NFE actually varies (trained weights + noise inputs give a real
@@ -150,13 +498,19 @@ def main(argv=None):
         )
 
         def pool_loop(p, pool, idx):
-            def body(acc, sel):
+            # NFE accumulator and the liveness term ride SEPARATE carry
+            # slots (ADVICE r2: folding mean(logits)*1e-12 into the NFE
+            # accumulator skewed the reported mean_nfe).
+            def body(carry, sel):
+                nfe_acc, live_acc = carry
                 logits, stats = odenet_logits(p, pool[sel], cfg)
-                return (acc + jnp.mean(stats.nfe.astype(jnp.float32))
-                        + jnp.mean(logits) * 1e-12), None
+                return (nfe_acc + jnp.mean(stats.nfe.astype(jnp.float32)),
+                        live_acc + jnp.mean(logits)), None
 
-            acc, _ = lax.scan(body, jnp.zeros(()), idx)
-            return acc / idx.shape[0]
+            (nfe_acc, live_acc), _ = lax.scan(
+                body, (jnp.zeros(()), jnp.zeros(())), idx
+            )
+            return nfe_acc / idx.shape[0] + live_acc * 1e-20
 
         run_pool = jax.jit(pool_loop)
         idx0 = jnp.arange(pool_n, dtype=jnp.int32).reshape(
@@ -164,22 +518,23 @@ def main(argv=None):
         )
 
         def time_pass(idx):
-            best, nfe = float("inf"), 0.0
-            for _ in range(max(args.warmup, 2)):
+            dts, nfe = [], 0.0
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 out = run_pool(params, x_pool, idx)
                 nfe = float(jax.device_get(out))
-                best = min(best, max(time.perf_counter() - t0 - overhead,
-                                     1e-9))
-            return best, nfe
+                dts.append(max(time.perf_counter() - t0 - overhead, 1e-9))
+            return dts, nfe
 
         float(jax.device_get(run_pool(params, x_pool, idx0)))  # compile
-        dt_unsorted, mean_nfe = time_pass(idx0)
+        milestone("compiled")
+        dts_unsorted, mean_nfe = time_pass(idx0)
+        dt_unsorted = min(dts_unsorted)
         pool_extra = {
             "pool": pool_n,
             "pool_ips_unsorted": round(pool_n / dt_unsorted, 2),
         }
-        best_dt = dt_unsorted
+        rep_dts = dts_unsorted
 
         if args.nfe_sort:
             cfg_loose = dataclasses.replace(
@@ -196,25 +551,31 @@ def main(argv=None):
 
             probe = jax.jit(probe_loop)
             nfe_probe = jax.device_get(probe(params, x_pool, idx0))  # compile
-            t0 = time.perf_counter()
-            nfe_probe = jax.device_get(probe(params, x_pool, idx0))
-            probe_dt = max(time.perf_counter() - t0 - overhead, 1e-9)
+            probe_dts = []
+            for _ in range(2):  # best-of-2: match the solve passes' protocol
+                t0 = time.perf_counter()
+                nfe_probe = jax.device_get(probe(params, x_pool, idx0))
+                probe_dts.append(
+                    max(time.perf_counter() - t0 - overhead, 1e-9))
+            probe_dt = min(probe_dts)
             order = np.argsort(nfe_probe, kind="stable").astype(np.int32)
             idx_sorted = jnp.asarray(order.reshape(n_batches,
                                                    args.batch_size))
             float(jax.device_get(run_pool(params, x_pool, idx_sorted)))
-            dt_sorted, mean_nfe = time_pass(idx_sorted)
+            dts_sorted, mean_nfe = time_pass(idx_sorted)
+            dt_sorted = min(dts_sorted)
             # Honest accounting: the probe is real work — the headline
             # sorted throughput includes it, amortised over one pool pass.
-            best_dt = dt_sorted + probe_dt
+            rep_dts = [d + probe_dt for d in dts_sorted]
             pool_extra.update(
                 pool_ips_sorted=round(pool_n / dt_sorted, 2),
-                pool_ips_sorted_with_probe=round(pool_n / best_dt, 2),
+                pool_ips_sorted_with_probe=round(
+                    pool_n / (dt_sorted + probe_dt), 2),
                 probe_s=round(probe_dt, 3),
                 probe_nfe_spread=[int(nfe_probe.min()),
                                   int(nfe_probe.max())],
             )
-        ips = pool_n / best_dt
+        rep_ips = [pool_n / d for d in rep_dts]
     else:
         def bench_loop(p, xx, n_iters):
             def body(carry, _):
@@ -230,52 +591,33 @@ def main(argv=None):
 
         run = jax.jit(bench_loop, static_argnums=2)
         float(jax.device_get(run(params, x, args.iters)[0]))  # compile
+        milestone("compiled")
 
-        best_dt = float("inf")
         mean_nfe = 0.0
-        for _ in range(max(args.warmup, 2)):
+        for i in range(reps):
             t0 = time.perf_counter()
             out, nfe_mean = run(params, x, args.iters)
             float(jax.device_get(out))
-            dt = time.perf_counter() - t0
-            best_dt = min(best_dt, max(dt - overhead, 1e-9))
+            dt = max(time.perf_counter() - t0 - overhead, 1e-9)
+            rep_ips.append(args.batch_size * args.iters / dt)
             mean_nfe = float(jax.device_get(nfe_mean))
-        ips = args.batch_size * args.iters / best_dt
+            if i == 0:  # a usable value exists from here on
+                milestone("first-timing",
+                          value=round(rep_ips[0], 2),
+                          mean_nfe=round(mean_nfe, 1))
 
-    vs_baseline = None
-    cpu_ips = cpu_ips_spread = None
-    if not args.skip_baseline:
-        try:
-            import torch
+    rep_arr = np.asarray(rep_ips)
+    ips = float(rep_arr.max())
+    milestone("timed",
+              value=round(ips, 2),
+              value_median=round(float(np.median(rep_arr)), 2),
+              value_band=[round(float(rep_arr.min()), 2),
+                          round(float(rep_arr.max()), 2)],
+              repeats=len(rep_ips),
+              mean_nfe=round(mean_nfe, 1))
 
-            from neural_ode_features_tpu.oracle.torch_ref import (
-                build_torch_odenet,
-                load_jax_params_into_torch,
-            )
-
-            torch.set_num_threads(max(torch.get_num_threads(), 1))
-            tm = build_torch_odenet(in_channels=cfg.in_channels)
-            load_jax_params_into_torch(tm, params)
-            tm.eval()
-            xc = torch.from_numpy(
-                x_np[: args.cpu_batch_size].transpose(0, 3, 1, 2)
-            )
-            # Median per-batch throughput over several batches: robust to
-            # one-off host stalls in the round's most-quoted denominator.
-            batch_dts = []
-            with torch.no_grad():
-                tm(xc, rtol=args.tol, atol=args.tol)  # warmup
-                for _ in range(args.cpu_batches):
-                    t0 = time.perf_counter()
-                    _, nfe_t = tm(xc, rtol=args.tol, atol=args.tol)
-                    batch_dts.append(time.perf_counter() - t0)
-            per_batch_ips = args.cpu_batch_size / np.asarray(batch_dts)
-            cpu_ips = float(np.median(per_batch_ips))
-            cpu_ips_spread = [float(per_batch_ips.min()),
-                              float(per_batch_ips.max())]
-            vs_baseline = ips / cpu_ips
-        except Exception as e:  # torch missing or oracle failure
-            print(f"baseline measurement failed: {e}", file=sys.stderr)
+    if cpu_ips and baseline_note is None:
+        vs_baseline = ips / cpu_ips
 
     # Model-FLOPs utilisation (VERDICT r1 #9): useful FLOPs at the measured
     # mean NFE over the chip's bf16 peak (utils/flops.py documents why bf16
@@ -290,34 +632,54 @@ def main(argv=None):
     peak = peak_flops_per_chip(jax.devices()[0].device_kind)
     mfu = (achieved / peak) if peak else None
 
-    shape_name = "mnist" if cfg.in_channels == 1 else "cifar10"
-    suffix = ""
-    if args.pool:
-        suffix = f"_pool{pool_extra['pool']}" + (
-            "_nfesort" if args.nfe_sort else ""
-        )
+    try:
+        load1_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1_end = None
+
     result = {
         "metric": (f"images_per_sec_per_chip_{shape_name}"
                    f"_odenet_inference_rtol1e-3{suffix}"),
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "value_median": round(float(np.median(rep_arr)), 2),
+        "value_band": [round(float(rep_arr.min()), 2),
+                       round(float(rep_arr.max()), 2)],
+        "repeats": len(rep_ips),
         "mean_nfe": round(mean_nfe, 1),
         "batch_size": args.batch_size,
         "backend": jax.default_backend(),
         "compute_dtype": cfg.compute_dtype,
         "pallas": args.pallas,
+        "fused_rk": args.fused_rk,
         "method": args.method,
         "tflops": round(achieved / 1e12, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "cpu_ips": round(cpu_ips, 2) if cpu_ips else None,
+        "cpu_ips_median": (round(cpu_ips_median, 2)
+                           if cpu_ips_median else None),
         "cpu_ips_spread": (
             [round(v, 2) for v in cpu_ips_spread] if cpu_ips_spread else None
         ),
+        "host_load_1min": [load1, load1_end],
         **pool_extra,
     }
-    print(json.dumps(result))
+    if baseline_note:
+        result["baseline_note"] = baseline_note
+    milestone("done", **{k: v for k, v in result.items()
+                         if k not in ("stage",)})
+    with _PARTIAL_LOCK:
+        PARTIAL.pop("incomplete", None)
+        PARTIAL.pop("stage", None)
+    print(json.dumps(result), flush=True)
     return result
+
+
+def main(argv=None):
+    if os.environ.get("BENCH_INNER") == "1" or os.environ.get("BENCH_NO_SUPERVISOR") == "1":
+        return inner_main(argv)
+    return supervise(argv)
 
 
 if __name__ == "__main__":

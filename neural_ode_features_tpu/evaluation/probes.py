@@ -44,13 +44,16 @@ def retrieval_map(feats: np.ndarray, labels: np.ndarray,
     """Leave-one-out retrieval mean average precision with L2 ranking:
     each sample queries the rest of the set; relevant = same label.
 
-    Computed blockwise in f32 — the one-shot (N, N) distance matrix was
-    ~800 MB at N=10k and made full-split evaluation needlessly slow; blocks
-    bound memory at ``block``·N while giving identical rankings."""
+    The (block, N) distance matmul is f32 (the one-shot f64 (N, N) matrix
+    was ~800 MB at N=10k); the cumsum/precision arithmetic stays f64 —
+    it is cheap relative to the matmul and keeps mAP comparable to the
+    round-1 f64 numbers at the ~1e-6 level (ADVICE r2).  f32 distances can
+    in principle reorder exact ties vs f64; with continuous features ties
+    have measure zero."""
     feats = np.ascontiguousarray(feats, np.float32)
     n = len(feats)
     sq = np.sum(feats**2, axis=1)
-    ranks = np.arange(1, n, dtype=np.float32)  # 1-based positions
+    ranks = np.arange(1, n, dtype=np.float64)  # 1-based positions
     ap_sum = 0.0
     for lo in range(0, n, block):
         hi = min(lo + block, n)
@@ -59,7 +62,7 @@ def retrieval_map(feats: np.ndarray, labels: np.ndarray,
         d2[np.arange(hi - lo), np.arange(lo, hi)] = np.inf
         order = np.argsort(d2, axis=1)[:, : n - 1]
         rel = labels[order] == labels[lo:hi, None]
-        cum_rel = np.cumsum(rel, axis=1, dtype=np.float32)
+        cum_rel = np.cumsum(rel, axis=1, dtype=np.float64)
         precision_at = cum_rel / ranks[None, :]
         n_rel = rel.sum(axis=1)
         ap = np.where(

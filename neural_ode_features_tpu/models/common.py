@@ -55,6 +55,9 @@ class ModelConfig:
     # Fused Pallas ODEfunc kernel on forward (inference/extraction) paths;
     # the adjoint differentiates the identical jnp dynamics regardless.
     use_pallas: bool = False
+    # Fused Pallas RK-step kernel: one whole dopri5 step (all stage evals +
+    # stage linear algebra + embedded error) as one VMEM-resident kernel.
+    use_fused_rk: bool = False
 
     @property
     def cdtype(self):

@@ -283,7 +283,11 @@ def adams_odeint(
             (r_hi < r_cur) & (r_hi <= r_lo), k_hi,
             jnp.where(r_lo < r_cur, k_lo, k_pred),
         )
-        new_order = jnp.where(accept, best, c.order)
+        # On rejection the order may move DOWN toward this attempt's best
+        # candidate (never up): reference VCABM also lowers order after
+        # rejections, so a sample stuck rejecting at a too-high order can
+        # recover without waiting for dt to shrink (ADVICE r2).
+        new_order = jnp.where(accept, best, jnp.minimum(best, c.order))
 
         # Controller exponent = the power the Milne error estimate scales
         # with: the predictor's local error order, k+1 (so 9 at full

@@ -340,6 +340,14 @@ def odeint_adjoint(
             return ys[-1].sum()
         grads, nfe_b = jax.grad(loss, argnums=(0, 1))(params, jnp.zeros(()))
 
+    **The sink must be an INDEPENDENT scalar** (a fresh ``jnp.zeros(())``
+    leaf, never a value computed from ``params``/``y0``/``ts``): its VJP is
+    deliberately non-linear (a fixed count, independent of the incoming
+    cotangent), so a sink derived from traced values would chain-rule the
+    count into real gradients, and ``jax.jvp``/``linearize`` through it
+    would be wrong (ADVICE r2).  A 0-d shape is enforced; independence
+    cannot be detected at trace time and is the caller's contract.
+
     Returns ``(ys, SolveStats)``; the stats carry no gradient.
     """
     cfg = _freeze(
@@ -361,4 +369,11 @@ def odeint_adjoint(
     )
     if nfe_sink is None:
         nfe_sink = jnp.zeros(())
+    if jnp.shape(nfe_sink) != ():
+        raise ValueError(
+            f"nfe_sink must be a 0-d scalar (got shape {jnp.shape(nfe_sink)});"
+            " see the docstring — it must also be INDEPENDENT of"
+            " params/y0/ts or its count-valued cotangent leaks into real"
+            " gradients"
+        )
     return _odeint_adjoint(func, cfg, params, y0, jnp.asarray(ts), nfe_sink)

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Race in-kernel 3x3-conv strategies on the real TPU chip.
+
+Round 2 measured the fused ODEfunc kernel's conv at 447 us vs XLA's 60 us
+(B=256): 18 small sequential per-tap matmuls are latency-bound.  The fused
+RK-step kernel (VERDICT r3 #2) only has a perf case if the in-kernel conv
+gets to ~XLA speed, so this probe times isolated conv strategies, all using
+the *split* ConcatConv lowering (ops/layers.py:161 — the time channel's
+contribution t*M is a precomputed map added OUTSIDE the contraction, so the
+in-kernel conv is a clean C->C matmul with no 65th channel):
+
+  seq9    9 sequential accumulating (TB*HW, C)@(C, C) dots (r2 baseline)
+  tree9   9 independent dots, tree-summed (lets Mosaic pipeline the MXU)
+  fori9   fori_loop over taps, dynamic slices (small code, shared stack)
+  im2col  one (TB*HW, 9C)@(9C, C) dot (lane-concat patches)
+
+Timing: chained lax.scan of ITERS kernel calls inside ONE dispatch (0.6 s
+tunnel dispatch overhead swamps per-call timing), best of REPS.  Results
+append to probes/conv_probe_r3.log with compile wall-times.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG = "/root/repo/probes/conv_probe_r3.log"
+B, H, W, C = 256, 7, 7, 64
+ITERS = 50
+REPS = 4
+
+
+def log(msg):
+    line = f"{time.strftime('%H:%M:%S')} {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def make_kernel(strategy: str, tb: int):
+    def kernel(x_ref, w_ref, out_ref):
+        h = x_ref[:].astype(jnp.float32)  # (TB, H, W, C)
+        hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        m = tb * H * W
+
+        if strategy == "seq9":
+            acc = jnp.zeros((m, C), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    patch = hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
+                    acc = acc + jnp.dot(
+                        patch, w_ref[ky, kx],
+                        preferred_element_type=jnp.float32)
+            out = acc
+        elif strategy == "tree9":
+            prods = []
+            for ky in range(3):
+                for kx in range(3):
+                    patch = hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
+                    prods.append(jnp.dot(
+                        patch, w_ref[ky, kx],
+                        preferred_element_type=jnp.float32))
+            while len(prods) > 1:
+                prods = [a + b for a, b in
+                         zip(prods[::2], prods[1::2])] + (
+                            [prods[-1]] if len(prods) % 2 else [])
+            out = prods[0]
+        elif strategy == "fori9":
+            w9 = w_ref[:].reshape(9, C, C)
+
+            def body(k, acc):
+                ky, kx = k // 3, k % 3
+                patch = lax.dynamic_slice(
+                    hp, (0, ky, kx, 0), (tb, H, W, C)).reshape(m, C)
+                return acc + jnp.dot(
+                    patch, lax.dynamic_index_in_dim(w9, k, keepdims=False),
+                    preferred_element_type=jnp.float32)
+
+            out = lax.fori_loop(0, 9, body, jnp.zeros((m, C), jnp.float32))
+        elif strategy == "im2col":
+            pieces = [
+                hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
+                for ky in range(3) for kx in range(3)
+            ]
+            patches = jnp.concatenate(pieces, axis=1)  # (m, 9C)
+            out = jnp.dot(patches, w_ref[:].reshape(9 * C, C),
+                          preferred_element_type=jnp.float32)
+        else:
+            raise ValueError(strategy)
+        out_ref[:] = out.reshape(tb, H, W, C)
+
+    return kernel
+
+
+def pallas_conv(strategy: str, tb: int):
+    kern = make_kernel(strategy, tb)
+
+    @jax.jit
+    def run(x, w):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+            grid=(B // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, H, W, C), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tb, H, W, C), lambda g: (g, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x, w)
+
+    return run
+
+
+def xla_conv():
+    @jax.jit
+    def run(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    return run
+
+
+def timed(fn, x, w, label):
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def loop(x, w):
+        def body(h, _):
+            return x + 1e-6 * fn_inner(h, w), None
+
+        out, _ = lax.scan(body, x, None, length=ITERS)
+        return jnp.mean(out)
+
+    fn_inner = fn
+    try:
+        float(jax.device_get(loop(x, w)))
+    except Exception as e:
+        log(f"{label}: FAILED compile/run: {str(e)[:600]}")
+        return None
+    compile_s = time.perf_counter() - t0
+
+    null = jax.jit(lambda s: s + 1.0)
+    float(jax.device_get(null(jnp.zeros(()))))
+    t0 = time.perf_counter()
+    float(jax.device_get(null(jnp.zeros(()))))
+    overhead = time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(jax.device_get(loop(x, w)))
+        best = min(best, time.perf_counter() - t0 - overhead)
+    us_per_conv = best / ITERS * 1e6
+    log(f"{label}: {us_per_conv:8.1f} us/conv  (compile {compile_s:.0f}s)")
+    return us_per_conv
+
+
+def check_correct(fn, x, w, label):
+    ref = np.asarray(jax.device_get(xla_conv()(x, w)))
+    got = np.asarray(jax.device_get(jax.jit(fn)(x, w)))
+    err = np.abs(ref - got).max()
+    log(f"{label}: max|diff vs XLA| = {err:.2e}")
+    return err
+
+
+def main():
+    log(f"=== conv probe: B={B} {H}x{W}x{C}, iters={ITERS}, "
+        f"backend={jax.default_backend()} ===")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
+
+    timed(xla_conv(), x, w, "xla_conv (reference)")
+
+    todo = sys.argv[1:] or ["im2col:64", "tree9:64", "fori9:64", "seq9:64",
+                            "im2col:128", "tree9:128"]
+    for spec in todo:
+        strategy, tb_s = spec.split(":")
+        tb = int(tb_s)
+        fn = pallas_conv(strategy, tb)
+        r = timed(fn, x, w, f"pallas {strategy} tb={tb}")
+        if r is not None and r < 200:
+            check_correct(fn, x, w, f"  {strategy} tb={tb}")
+
+
+if __name__ == "__main__":
+    main()
