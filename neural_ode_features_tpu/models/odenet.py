@@ -116,6 +116,30 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
     def dyn_closed(t, y):
         return odefunc_apply(params["odefunc"], t, y, cfg)
 
+    fused_step = None
+    if (cfg.use_fused_rk and cfg.method == "dopri5"
+            and cfg.error_control == "per_sample"
+            and cfg.compute_dtype == "float32"
+            and h0.dtype == jnp.float32 and h0.ndim == 4):
+        # Whole-RK-step Pallas kernel: 6 FSAL dynamics evals + stage sums +
+        # embedded error norm VMEM-resident (kernels/rk_step_pallas.py).
+        from ..kernels.rk_step_pallas import (
+            fused_rk_supported,
+            make_fused_dopri5_step,
+        )
+        from ..solver.tableau import ADAPTIVE_TABLEAUS
+
+        b, hh, ww, c = h0.shape
+        if fused_rk_supported(b, hh * ww * c, (hh, ww), cfg.groups):
+            fused_step = make_fused_dopri5_step(
+                params["odefunc"],
+                ADAPTIVE_TABLEAUS["dopri5"],
+                (hh, ww),
+                groups=cfg.groups,
+                rtol=cfg.tol,
+                atol=cfg.tol,
+            )
+
     return odeint(
         dyn_closed,
         h0,
@@ -125,6 +149,7 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
         method=cfg.method,
         error_control=cfg.error_control,
         max_steps=cfg.max_steps,
+        fused_step=fused_step,
     )
 
 

@@ -54,6 +54,7 @@ def odeint(
     steps_per_interval: int = 1,
     error_mask: Any = None,
     max_order: int = 8,
+    fused_step: Callable | None = None,
 ) -> tuple[Any, SolveStats]:
     """Solve ``dy/dt = func(t, y)`` from ``y0`` over times ``ts``.
 
@@ -83,6 +84,13 @@ def odeint(
       max_order: order-ramp ceiling for ``method='adams'`` (2..12; higher
         order → fewer, more expensive steps at tight tolerances).  Ignored
         by other methods.
+      fused_step: optional fused RK-step kernel operating on the FLAT
+        ``(B, N)`` state (see ``adaptive_odeint``; built by
+        ``kernels.rk_step_pallas.make_fused_dopri5_step``).  Adaptive
+        tableau methods only; the caller is responsible for matching the
+        tableau/tolerances and the flat layout (``error_control=
+        'per_sample'`` keeps leaves' batch rows — the model layer is the
+        intended caller).
 
     Returns:
       ys: pytree like ``y0`` with a new leading time axis ``T``.
@@ -169,7 +177,12 @@ def odeint(
             first_step=first_step,
             unroll=unroll,
             error_mask=flat_mask,
+            fused_step=fused_step,
         )
+    elif fused_step is not None:
+        raise ValueError(
+            f"fused_step only applies to adaptive tableau methods, not "
+            f"{method!r}")
     elif method == "adams":
         ys, stats = adams_odeint(
             flat_func,

@@ -253,6 +253,7 @@ def adaptive_odeint(
     dfactor: float = 0.2,
     unroll: str = "while",
     error_mask: jnp.ndarray | None = None,
+    fused_step: Callable | None = None,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Integrate ``dy/dt = func(t, y)`` over the monotonic grid ``ts``.
 
@@ -268,11 +269,23 @@ def adaptive_odeint(
         reverse-differentiable — for gradient tests only).
       error_mask: optional 0/1 array broadcastable to (B, N) — error control
         restricted to these state columns (seminorm; see _error_ratio).
+      fused_step: optional ``(t0 (B,), dt (B,), y0 (B,N), f0 (B,N)) ->
+        (y1, f1, y_mid, ratio)`` replacing ``_rk_attempt`` + the error norm
+        with one fused kernel (kernels/rk_step_pallas.py).  Requires a
+        quartic-fit FSAL tableau (dopri5-family), ``error_mask=None``, and
+        must implement the same tableau/tolerances — the caller guarantees
+        numerical equivalence (tests/test_fused_rk.py).
 
     Returns:
       ys: (T, B, N) solution at ``ts`` (ys[0] ≡ y0).
       stats: per-sample :class:`SolveStats`.
     """
+    if fused_step is not None and (error_mask is not None
+                                   or tableau.c_mid is None
+                                   or not tableau.fsal):
+        raise ValueError(
+            "fused_step requires a quartic-dense FSAL tableau and no "
+            "error_mask")
     dtype = y0.dtype
     batch, n = y0.shape
     n_out = ts.shape[0]
@@ -320,10 +333,18 @@ def adaptive_odeint(
         active = ~c.done
         t0, dt, y0, f0 = c.t, c.dt, c.y, c.f
 
-        y1, err, f1, new_evals, data = _rk_attempt(
-            tableau, func, t0, dt, y0, f0, dtype
-        )
-        ratio = _error_ratio(err, y0, y1, rtol, atol, error_mask)
+        if fused_step is not None:
+            y1, f1, y_mid, ratio = fused_step(t0, dt, y0, f0)
+            new_evals = tableau.stages - 1
+            dt_col = dt[:, None]
+            data = jnp.stack(
+                [y0, y1, y_mid, dt_col * f0, dt_col * f1])
+            ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
+        else:
+            y1, err, f1, new_evals, data = _rk_attempt(
+                tableau, func, t0, dt, y0, f0, dtype
+            )
+            ratio = _error_ratio(err, y0, y1, rtol, atol, error_mask)
         accept = (ratio <= 1.0) & active
         t1 = t0 + dt
 
