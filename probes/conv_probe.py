@@ -34,8 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 LOG = "/root/repo/probes/conv_probe_r3.log"
 B, H, W, C = 256, 7, 7, 64
-ITERS = 50
-REPS = 4
+# The dispatch overhead through the tunnel is ~0.6 s with multi-second
+# stalls; the chained work must dwarf it.  1000 convs ≈ 60 ms at XLA's
+# 60 us/conv — still noisy, so the per-conv number uses the SLOPE between
+# a long and a short chain ((t_long - t_short) / (ITERS - ITERS_SHORT)),
+# which cancels the per-dispatch constant exactly.
+ITERS = 1200
+ITERS_SHORT = 200
+REPS = 5
 
 
 def log(msg):
@@ -136,35 +142,39 @@ def xla_conv():
 def timed(fn, x, w, label):
     t0 = time.perf_counter()
 
-    @jax.jit
-    def loop(x, w):
-        def body(h, _):
-            return x + 1e-6 * fn_inner(h, w), None
+    def make_loop(n):
+        @jax.jit
+        def loop(x, w):
+            def body(h, _):
+                return x + 1e-6 * fn(h, w), None
 
-        out, _ = lax.scan(body, x, None, length=ITERS)
-        return jnp.mean(out)
+            out, _ = lax.scan(body, x, None, length=n)
+            return jnp.mean(out)
 
-    fn_inner = fn
+        return loop
+
+    loop_long = make_loop(ITERS)
+    loop_short = make_loop(ITERS_SHORT)
     try:
-        float(jax.device_get(loop(x, w)))
+        float(jax.device_get(loop_long(x, w)))
+        float(jax.device_get(loop_short(x, w)))
     except Exception as e:
         log(f"{label}: FAILED compile/run: {str(e)[:600]}")
         return None
     compile_s = time.perf_counter() - t0
 
-    null = jax.jit(lambda s: s + 1.0)
-    float(jax.device_get(null(jnp.zeros(()))))
-    t0 = time.perf_counter()
-    float(jax.device_get(null(jnp.zeros(()))))
-    overhead = time.perf_counter() - t0
-
-    best = float("inf")
+    best_long = best_short = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        float(jax.device_get(loop(x, w)))
-        best = min(best, time.perf_counter() - t0 - overhead)
-    us_per_conv = best / ITERS * 1e6
-    log(f"{label}: {us_per_conv:8.1f} us/conv  (compile {compile_s:.0f}s)")
+        float(jax.device_get(loop_long(x, w)))
+        best_long = min(best_long, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(jax.device_get(loop_short(x, w)))
+        best_short = min(best_short, time.perf_counter() - t0)
+    us_per_conv = (best_long - best_short) / (ITERS - ITERS_SHORT) * 1e6
+    log(f"{label}: {us_per_conv:8.1f} us/conv  "
+        f"(long {best_long:.3f}s short {best_short:.3f}s "
+        f"compile {compile_s:.0f}s)")
     return us_per_conv
 
 
