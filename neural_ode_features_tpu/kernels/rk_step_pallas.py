@@ -48,13 +48,19 @@ from .odefunc_pallas import _group_norm_in_kernel
 __all__ = ["make_fused_dopri5_step", "fused_rk_supported"]
 
 
-def _conv3x3_in_kernel(h, w_ref, strategy: str):
+def _conv3x3_in_kernel(h, w_ref, strategy: str, mxu_dtype):
     """3x3 SAME conv of an fp32 (TB, H, W, C) value with a (3, 3, C, C)
     weight ref, on the MXU.  No time channel — the split lowering adds
-    ``t * M`` outside the contraction."""
+    ``t * M`` outside the contraction.
+
+    ``mxu_dtype=jnp.bfloat16`` reproduces XLA's DEFAULT conv precision on
+    TPU (bf16 multiplies, fp32 accumulation — the production jnp path's
+    own numerics there; the MXU's native rate).  ``jnp.float32`` matches
+    the strict-f32 CPU reference (interpreter tests)."""
     tb, hh, ww, c = h.shape
     m = tb * hh * ww
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cast = lambda z: z.astype(mxu_dtype)
 
     if strategy == "im2col":
         pieces = [
@@ -62,14 +68,14 @@ def _conv3x3_in_kernel(h, w_ref, strategy: str):
             for ky in range(3) for kx in range(3)
         ]
         patches = jnp.concatenate(pieces, axis=1)  # (m, 9C)
-        out = jnp.dot(patches, w_ref[:].reshape(9 * c, c),
+        out = jnp.dot(cast(patches), cast(w_ref[:].reshape(9 * c, c)),
                       preferred_element_type=jnp.float32)
     elif strategy == "tree9":
         prods = []
         for ky in range(3):
             for kx in range(3):
                 patch = hp[:, ky:ky + hh, kx:kx + ww, :].reshape(m, c)
-                prods.append(jnp.dot(patch, w_ref[ky, kx],
+                prods.append(jnp.dot(cast(patch), cast(w_ref[ky, kx]),
                                      preferred_element_type=jnp.float32))
         while len(prods) > 1:
             paired = [a + b for a, b in zip(prods[::2], prods[1::2])]
@@ -85,7 +91,8 @@ def _conv3x3_in_kernel(h, w_ref, strategy: str):
             patch = lax.dynamic_slice(
                 hp, (0, ky, kx, 0), (tb, hh, ww, c)).reshape(m, c)
             return acc + jnp.dot(
-                patch, lax.dynamic_index_in_dim(w9, k, keepdims=False),
+                cast(patch),
+                cast(lax.dynamic_index_in_dim(w9, k, keepdims=False)),
                 preferred_element_type=jnp.float32)
 
         out = lax.fori_loop(0, 9, body, jnp.zeros((m, c), jnp.float32))
@@ -94,7 +101,8 @@ def _conv3x3_in_kernel(h, w_ref, strategy: str):
     return out.reshape(tb, hh, ww, c)
 
 
-def _odefunc_in_kernel(h, t_col, refs, groups: int, strategy: str):
+def _odefunc_in_kernel(h, t_col, refs, groups: int, strategy: str,
+                       mxu_dtype):
     """GN→ReLU→[conv + t·M + b]→GN→ReLU→[conv + t·M + b]→GN, fp32.
 
     ``refs`` = (n1s, n1b, w1, b1, m1, n2s, n2b, w2, b2, m2, n3s, n3b)
@@ -104,10 +112,12 @@ def _odefunc_in_kernel(h, t_col, refs, groups: int, strategy: str):
 
     out = _group_norm_in_kernel(h, n1s[:], n1b[:], groups)
     out = jnp.maximum(out, 0.0)
-    out = _conv3x3_in_kernel(out, w1, strategy) + t4 * m1[:] + b1[:]
+    out = (_conv3x3_in_kernel(out, w1, strategy, mxu_dtype)
+           + t4 * m1[:] + b1[:])
     out = _group_norm_in_kernel(out, n2s[:], n2b[:], groups)
     out = jnp.maximum(out, 0.0)
-    out = _conv3x3_in_kernel(out, w2, strategy) + t4 * m2[:] + b2[:]
+    out = (_conv3x3_in_kernel(out, w2, strategy, mxu_dtype)
+           + t4 * m2[:] + b2[:])
     return _group_norm_in_kernel(out, n3s[:], n3b[:], groups)
 
 
@@ -116,6 +126,7 @@ def _rk_step_kernel(
     n1s, n1b, w1, b1, m1, n2s, n2b, w2, b2, m2, n3s, n3b,
     y1_ref, f1_ref, ymid_ref, ratio_ref,
     *, groups: int, strategy: str, rtol: float, atol: float, tab: dict,
+    mxu_dtype=jnp.float32,
 ):
     t0 = t_ref[:].astype(jnp.float32)   # (TB, 1)
     dt = dt_ref[:].astype(jnp.float32)  # (TB, 1)
@@ -137,7 +148,8 @@ def _rk_step_kernel(
             acc = term if acc is None else acc + term
         yi = y0 if acc is None else y0 + dt4 * acc
         ti = t0 + c_nodes[i] * dt
-        ks.append(_odefunc_in_kernel(yi, ti, refs, groups, strategy))
+        ks.append(_odefunc_in_kernel(yi, ti, refs, groups, strategy,
+                                     mxu_dtype))
 
     def combo(coeffs):
         acc = None
@@ -230,6 +242,7 @@ def make_fused_dopri5_step(
     rtol: float,
     atol: float,
     conv_strategy: str = "im2col",
+    conv_precision: str | None = None,
     interpret: bool | None = None,
     tile: int | None = None,
 ):
@@ -240,12 +253,21 @@ def make_fused_dopri5_step(
     the flat state folds to.  Returns
     ``fused_step(t0 (B,), dt (B,), y0 (B,N), f0 (B,N))
     -> (y1, f1, y_mid, ratio)``.
+
+    ``conv_precision``: ``'bf16'`` = bf16 multiplies / fp32 accumulation
+    (XLA's DEFAULT conv precision on TPU — the production jnp path's own
+    numerics there, and the MXU's native rate) | ``'f32'`` (strict, ~3x
+    slower MXU passes) | None = auto: bf16 on hardware, f32 in the
+    interpreter (each matching the jnp path on the SAME backend).
     """
     if atol <= 0.0:
         raise ValueError("fused RK step requires atol > 0 (in-kernel error "
                          "norm has no 0/0 guard)")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if conv_precision is None:
+        conv_precision = "f32" if interpret else "bf16"
+    mxu_dtype = jnp.bfloat16 if conv_precision == "bf16" else jnp.float32
     hh, ww = hw
     tab = _tableau_dict(tableau)
 
@@ -281,6 +303,7 @@ def make_fused_dopri5_step(
         kern = functools.partial(
             _rk_step_kernel, groups=groups, strategy=conv_strategy,
             rtol=float(rtol), atol=float(atol), tab=tab,
+            mxu_dtype=mxu_dtype,
         )
         y1, f1, y_mid, ratio = pl.pallas_call(
             kern,

@@ -52,9 +52,18 @@ def log(msg):
 
 
 def make_kernel(strategy: str, tb: int):
+    # '<name>_bf16' = bf16 multiplies / fp32 accumulation — XLA's DEFAULT
+    # conv precision on TPU and the MXU's native rate (f32 dots cost ~3x).
+    if strategy.endswith("_bf16"):
+        strategy = strategy[:-5]
+        mxu = jnp.bfloat16
+    else:
+        mxu = jnp.float32
+
     def kernel(x_ref, w_ref, out_ref):
         h = x_ref[:].astype(jnp.float32)  # (TB, H, W, C)
-        hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(mxu)
+        w_c = w_ref[:].astype(mxu)
         m = tb * H * W
 
         if strategy == "seq9":
@@ -63,7 +72,7 @@ def make_kernel(strategy: str, tb: int):
                 for kx in range(3):
                     patch = hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
                     acc = acc + jnp.dot(
-                        patch, w_ref[ky, kx],
+                        patch, w_c[ky, kx],
                         preferred_element_type=jnp.float32)
             out = acc
         elif strategy == "tree9":
@@ -72,7 +81,7 @@ def make_kernel(strategy: str, tb: int):
                 for kx in range(3):
                     patch = hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
                     prods.append(jnp.dot(
-                        patch, w_ref[ky, kx],
+                        patch, w_c[ky, kx],
                         preferred_element_type=jnp.float32))
             while len(prods) > 1:
                 prods = [a + b for a, b in
@@ -80,7 +89,7 @@ def make_kernel(strategy: str, tb: int):
                             [prods[-1]] if len(prods) % 2 else [])
             out = prods[0]
         elif strategy == "fori9":
-            w9 = w_ref[:].reshape(9, C, C)
+            w9 = w_c.reshape(9, C, C)
 
             def body(k, acc):
                 ky, kx = k // 3, k % 3
@@ -97,7 +106,7 @@ def make_kernel(strategy: str, tb: int):
                 for ky in range(3) for kx in range(3)
             ]
             patches = jnp.concatenate(pieces, axis=1)  # (m, 9C)
-            out = jnp.dot(patches, w_ref[:].reshape(9 * C, C),
+            out = jnp.dot(patches, w_c.reshape(9 * C, C),
                           preferred_element_type=jnp.float32)
         else:
             raise ValueError(strategy)

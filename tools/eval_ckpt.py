@@ -33,6 +33,7 @@ def main(argv=None):
                    help="fixed-grid methods: number of uniform steps")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--data-dir", default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -63,7 +64,8 @@ def main(argv=None):
         error_control="per_sample",
     )
 
-    x, y = load_dataset(args.dataset, "test", limit=args.limit)
+    x, y = load_dataset(args.dataset, "test", args.data_dir,
+                        limit=args.limit)
     x = normalize(x, args.dataset)
     if args.steps is not None:
         ts = jnp.linspace(0.0, 1.0, args.steps + 1)

@@ -168,6 +168,7 @@ def run_protocol(dataset: str, data_dir: Path, *, epochs: int,
     # 3. final accuracy at the reference eval setting
     eval_cmd = [sys.executable, str(ROOT / "tools" / "eval_ckpt.py"),
                 "--run", run_dir, "--dataset", dataset,
+                "--data-dir", str(data_dir),
                 "--solver", "dopri5", "--tol", "1e-3"]
     if limit:
         eval_cmd += ["--limit", str(limit)]
