@@ -32,6 +32,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 LOG = "/root/repo/probes/conv_probe_r3.log"
 B, H, W, C = 256, 7, 7, 64
 # The dispatch overhead through the tunnel is ~0.6 s with multi-second
@@ -62,26 +65,31 @@ def make_kernel(strategy: str, tb: int):
 
     def kernel(x_ref, w_ref, out_ref):
         h = x_ref[:].astype(jnp.float32)  # (TB, H, W, C)
-        hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(mxu)
+        # Mosaic cannot reshape a 4D bf16 vector (infer-vector-layout:
+        # unsupported shape cast, measured 12:18 r3) — keep the padded map
+        # f32, reshape 4D->2D in f32, and cast the 2D patch to the MXU
+        # dtype AFTER the collapse.
+        hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
         w_c = w_ref[:].astype(mxu)
         m = tb * H * W
+
+        def patch(ky, kx):
+            return hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C).astype(mxu)
 
         if strategy == "seq9":
             acc = jnp.zeros((m, C), jnp.float32)
             for ky in range(3):
                 for kx in range(3):
-                    patch = hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
                     acc = acc + jnp.dot(
-                        patch, w_c[ky, kx],
+                        patch(ky, kx), w_c[ky, kx],
                         preferred_element_type=jnp.float32)
             out = acc
         elif strategy == "tree9":
             prods = []
             for ky in range(3):
                 for kx in range(3):
-                    patch = hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
                     prods.append(jnp.dot(
-                        patch, w_c[ky, kx],
+                        patch(ky, kx), w_c[ky, kx],
                         preferred_element_type=jnp.float32))
             while len(prods) > 1:
                 prods = [a + b for a, b in
@@ -101,10 +109,7 @@ def make_kernel(strategy: str, tb: int):
 
             out = lax.fori_loop(0, 9, body, jnp.zeros((m, C), jnp.float32))
         elif strategy == "im2col":
-            pieces = [
-                hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C)
-                for ky in range(3) for kx in range(3)
-            ]
+            pieces = [patch(ky, kx) for ky in range(3) for kx in range(3)]
             patches = jnp.concatenate(pieces, axis=1)  # (m, 9C)
             out = jnp.dot(patches, w_c.reshape(9 * C, C),
                           preferred_element_type=jnp.float32)
@@ -115,8 +120,39 @@ def make_kernel(strategy: str, tb: int):
     return kernel
 
 
+def make_scratch_kernel(strategy: str, tb: int):
+    """im2col with the patch matrix built in a VMEM *scratch* ref (one
+    allocation, 9 stores) instead of a lane-concat value — the concat
+    materializes per-tap on this Mosaic's no-slot-reuse stack allocator
+    (round-2 diagnosis: 42-65 MB stack → HTTP 500/OOM)."""
+    if strategy.endswith("_bf16"):
+        mxu = jnp.bfloat16
+    else:
+        mxu = jnp.float32
+    m = tb * H * W
+
+    def kernel(x_ref, w_ref, out_ref, patch_ref):
+        h = x_ref[:].astype(jnp.float32)
+        # f32 pad + f32 4D->2D reshape, cast to MXU dtype on the 2D value
+        # (Mosaic can't shape-cast 4D bf16 — see make_kernel).
+        hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        for ky in range(3):
+            for kx in range(3):
+                k = ky * 3 + kx
+                patch_ref[:, k * C:(k + 1) * C] = (
+                    hp[:, ky:ky + H, kx:kx + W, :].reshape(m, C).astype(mxu))
+        out = jnp.dot(patch_ref[:], w_ref[:].astype(mxu).reshape(9 * C, C),
+                      preferred_element_type=jnp.float32)
+        out_ref[:] = out.reshape(tb, H, W, C)
+
+    return kernel, [pltpu.VMEM((m, 9 * C), mxu)]
+
+
 def pallas_conv(strategy: str, tb: int):
-    kern = make_kernel(strategy, tb)
+    if strategy.startswith("im2colS"):
+        kern, scratch = make_scratch_kernel(strategy[len("im2colS"):], tb)
+    else:
+        kern, scratch = make_kernel(strategy, tb), []
 
     @jax.jit
     def run(x, w):
@@ -131,6 +167,7 @@ def pallas_conv(strategy: str, tb: int):
             ],
             out_specs=pl.BlockSpec((tb, H, W, C), lambda g: (g, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
         )(x, w)
 
     return run
@@ -169,6 +206,9 @@ def timed(fn, x, w, label):
         float(jax.device_get(loop_short(x, w)))
     except Exception as e:
         log(f"{label}: FAILED compile/run: {str(e)[:600]}")
+        with open(LOG + ".err", "a") as f:
+            f.write(f"=== {time.strftime('%H:%M:%S')} {label} ===\n"
+                    f"{type(e).__name__}: {e}\n\n")
         return None
     compile_s = time.perf_counter() - t0
 
@@ -202,10 +242,12 @@ def main():
     x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32) * 0.1)
     w = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
 
-    timed(xla_conv(), x, w, "xla_conv (reference)")
-
     todo = sys.argv[1:] or ["im2col:64", "tree9:64", "fori9:64", "seq9:64",
                             "im2col:128", "tree9:128"]
+    if todo and todo[0] == "--no-xla":
+        todo = todo[1:]
+    else:
+        timed(xla_conv(), x, w, "xla_conv (reference)")
     for spec in todo:
         strategy, tb_s = spec.split(":")
         tb = int(tb_s)
