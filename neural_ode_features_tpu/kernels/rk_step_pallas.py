@@ -43,9 +43,187 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .odefunc_pallas import _group_norm_in_kernel
+from .odefunc_pallas import _group_assign, _group_norm_in_kernel
 
 __all__ = ["make_fused_dopri5_step", "fused_rk_supported"]
+
+
+# ---------------------------------------------------------------------------
+# Rows layout ("roll*" conv strategies): the state lives as (TB·H·W, C) 2D
+# rows (row-major b, y, x) and NEVER becomes 4D inside the kernel.  Round-3
+# hardware probing (probes/conv_probe_r3.log) showed the 4D path's per-patch
+# (TB, H, W, C) → (TB·H·W, C) reshapes are Mosaic *relayouts* — W=7 rows
+# repacked across the 8-sublane boundary on every tap, 366 us/conv vs XLA's
+# 5 us.  In rows layout a conv tap is a sublane roll of the whole row block
+# plus an iota border mask (no relayout); GroupNorm's per-sample reductions
+# become matmuls with an iota-built (TB, m) segment matrix, exactly like the
+# channel→group assignment matmuls of odefunc_pallas._group_norm_in_kernel.
+# ---------------------------------------------------------------------------
+
+
+def _seg_matrix(tb: int, rows_per: int, transpose: bool = False):
+    """0/1 sample-segment matrix built in-kernel from iota: seg[s, r] = 1
+    iff row r belongs to sample s (rows are row-major (b, y, x), so sample
+    boundaries fall every ``rows_per`` rows)."""
+    m = tb * rows_per
+    shape = (m, tb) if transpose else (tb, m)
+    row_axis, samp_axis = (0, 1) if transpose else (1, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, row_axis) // rows_per
+    samp = jax.lax.broadcasted_iota(jnp.int32, shape, samp_axis)
+    return (row == samp).astype(jnp.float32)
+
+
+def _group_norm_rows(h, scale, bias, groups, seg, segT, rows_per, eps=1e-5):
+    """GroupNorm on (m, C) rows, fp32.  Per-sample sums ride the MXU via the
+    segment matrix; channel→group sums via the assignment matrix; stats are
+    broadcast back to rows with the transposed segment matmul."""
+    m, c = h.shape
+    gsize = c // groups
+    n = rows_per * gsize
+    assign = _group_assign(c, groups)  # (C, G)
+
+    s_c = jnp.dot(seg, h, preferred_element_type=jnp.float32)  # (TB, C)
+    s_g = jnp.dot(s_c, assign, preferred_element_type=jnp.float32)
+    mean_g = s_g / n
+    mean_c = jnp.dot(mean_g, assign.T, preferred_element_type=jnp.float32)
+    mean_rows = jnp.dot(segT, mean_c, preferred_element_type=jnp.float32)
+    d = h - mean_rows
+    s2_c = jnp.dot(seg, d * d, preferred_element_type=jnp.float32)
+    var_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32) / n
+    inv_g = jax.lax.rsqrt(var_g + eps)  # (TB, G)
+    inv_c = jnp.dot(inv_g, assign.T, preferred_element_type=jnp.float32)
+    inv_rows = jnp.dot(segT, inv_c, preferred_element_type=jnp.float32)
+    return d * inv_rows * scale + bias
+
+
+def _conv3x3_rows(h, w2_ref, hw, strategy: str, mxu_dtype, patch_ref):
+    """3x3 SAME conv of (m, C) rows on the MXU: each tap is a sublane roll
+    + iota border mask.  ``w2_ref``: (9C, C) with taps stacked (ky, kx)
+    row-major.  ``patch_ref``: (m, 9C) VMEM scratch (rollS strategy only) —
+    a single allocation genuinely REUSED across all convs in the kernel,
+    unlike Mosaic's no-reuse value stack."""
+    hh, ww = hw
+    m, c = h.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    y_pos = (r // ww) % hh
+    x_pos = r % ww
+    w_c = w2_ref[:].astype(mxu_dtype)
+
+    def tap(ky, kx):
+        off = (ky - 1) * ww + (kx - 1)
+        shifted = pltpu.roll(h, (-off) % m, 0) if off else h
+        ys = y_pos + (ky - 1)
+        xs = x_pos + (kx - 1)
+        mask = (ys >= 0) & (ys < hh) & (xs >= 0) & (xs < ww)
+        return jnp.where(mask, shifted, 0.0)
+
+    if strategy == "roll9":
+        prods = [
+            jnp.dot(tap(ky, kx).astype(mxu_dtype),
+                    w_c[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c],
+                    preferred_element_type=jnp.float32)
+            for ky in range(3) for kx in range(3)
+        ]
+        while len(prods) > 1:
+            prods = [a + b for a, b in zip(prods[::2], prods[1::2])] + (
+                [prods[-1]] if len(prods) % 2 else [])
+        return prods[0]
+    if strategy == "rollS":
+        for ky in range(3):
+            for kx in range(3):
+                k = ky * 3 + kx
+                patch_ref[:, k * c:(k + 1) * c] = tap(ky, kx).astype(mxu_dtype)
+        return jnp.dot(patch_ref[:], w_c, preferred_element_type=jnp.float32)
+    raise ValueError(f"unknown rows conv strategy {strategy!r}")
+
+
+def _odefunc_rows(h, t_rows, refs, groups: int, hw, strategy: str,
+                  mxu_dtype, seg, segT, patch_ref):
+    """GN→ReLU→[conv + t·M + b]→GN→ReLU→[conv + t·M + b]→GN on (m, C) rows.
+
+    ``refs`` = (n1s, n1b, w1, b1, m1, n2s, n2b, w2, b2, m2, n3s, n3b) with
+    norm scales/biases (1, C), conv weights (9C, C), biases (1, C), and
+    m1/m2 the border-aware time maps PRE-TILED to (m, C) rows."""
+    (n1s, n1b, w1, b1, m1, n2s, n2b, w2, b2, m2, n3s, n3b) = refs
+    rows_per = hw[0] * hw[1]
+
+    out = _group_norm_rows(h, n1s[:], n1b[:], groups, seg, segT, rows_per)
+    out = jnp.maximum(out, 0.0)
+    out = (_conv3x3_rows(out, w1, hw, strategy, mxu_dtype, patch_ref)
+           + t_rows * m1[:] + b1[:])
+    out = _group_norm_rows(out, n2s[:], n2b[:], groups, seg, segT, rows_per)
+    out = jnp.maximum(out, 0.0)
+    out = (_conv3x3_rows(out, w2, hw, strategy, mxu_dtype, patch_ref)
+           + t_rows * m2[:] + b2[:])
+    return _group_norm_rows(out, n3s[:], n3b[:], groups, seg, segT, rows_per)
+
+
+def _rk_step_kernel_rows(
+    t_ref, dt_ref, y0_ref, f0_ref,
+    n1s, n1b, w1, b1, m1, n2s, n2b, w2, b2, m2, n3s, n3b,
+    y1_ref, f1_ref, ymid_ref, ratio_ref,
+    *scratch,
+    groups: int, strategy: str, rtol: float, atol: float, tab: dict,
+    mxu_dtype, hw,
+):
+    patch_ref = scratch[0] if scratch else None
+    hh, ww = hw
+    rows_per = hh * ww
+    m = y0_ref.shape[0]
+    tb = m // rows_per
+
+    t_rows = t_ref[:].astype(jnp.float32)   # (m, 1) — pre-repeated per row
+    dt_rows = dt_ref[:].astype(jnp.float32)  # (m, 1)
+    y0 = y0_ref[:].astype(jnp.float32)       # (m, C)
+    seg = _seg_matrix(tb, rows_per)
+    segT = _seg_matrix(tb, rows_per, transpose=True)
+    refs = (n1s, n1b, w1, b1, m1, n2s, n2b, w2, b2, m2, n3s, n3b)
+
+    a, b, b_err, c_nodes, c_mid = (tab[k] for k in
+                                   ("a", "b", "b_err", "c", "c_mid"))
+    stages = len(b)
+
+    ks = [f0_ref[:].astype(jnp.float32)]
+    for i in range(1, stages):
+        acc = None
+        for j in range(i):
+            if a[i][j] == 0.0:
+                continue
+            term = a[i][j] * ks[j]
+            acc = term if acc is None else acc + term
+        yi = y0 if acc is None else y0 + dt_rows * acc
+        ti = t_rows + c_nodes[i] * dt_rows
+        ks.append(_odefunc_rows(yi, ti, refs, groups, hw, strategy,
+                                mxu_dtype, seg, segT, patch_ref))
+
+    def combo(coeffs):
+        acc = None
+        for j in range(stages):
+            if coeffs[j] == 0.0:
+                continue
+            term = coeffs[j] * ks[j]
+            acc = term if acc is None else acc + term
+        return acc
+
+    y1 = y0 + dt_rows * combo(b)
+    err = dt_rows * combo(b_err)
+    y_mid = y0 + dt_rows * combo(c_mid)
+
+    # Per-sample mixed-tolerance RMS: segment-matmul the squared scaled
+    # error down to (TB, C), then a ones-matmul over channels.
+    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    r2 = jnp.square(err / scale)
+    s_c = jnp.dot(seg, r2, preferred_element_type=jnp.float32)  # (TB, C)
+    c = y0.shape[1]
+    ones_col = jnp.ones((c, 1), jnp.float32)
+    mean_r2 = jnp.dot(s_c, ones_col,
+                      preferred_element_type=jnp.float32) / (rows_per * c)
+    ratio = jnp.sqrt(mean_r2 + jnp.finfo(jnp.float32).tiny)  # (TB, 1)
+
+    y1_ref[:] = y1.astype(y1_ref.dtype)
+    f1_ref[:] = ks[-1].astype(f1_ref.dtype)
+    ymid_ref[:] = y_mid.astype(ymid_ref.dtype)
+    ratio_ref[:] = ratio.astype(ratio_ref.dtype)
 
 
 def _conv3x3_in_kernel(h, w_ref, strategy: str, mxu_dtype):
@@ -241,7 +419,7 @@ def make_fused_dopri5_step(
     groups: int = 32,
     rtol: float,
     atol: float,
-    conv_strategy: str = "im2col",
+    conv_strategy: str = "rollS",
     conv_precision: str | None = None,
     interpret: bool | None = None,
     tile: int | None = None,
@@ -280,6 +458,14 @@ def make_fused_dopri5_step(
     n2s, n2b = params["norm2"]["scale"], params["norm2"]["bias"]
     n3s, n3b = params["norm3"]["scale"], params["norm3"]["bias"]
     b1, b2 = params["conv1"]["bias"], params["conv2"]["bias"]
+
+    if conv_strategy.startswith("roll"):
+        return _make_rows_step(
+            w1, w2, m1, m2, n1s, n1b, n2s, n2b, n3s, n3b, b1, b2,
+            hw=hw, groups=groups, rtol=rtol, atol=atol,
+            conv_strategy=conv_strategy, mxu_dtype=mxu_dtype,
+            interpret=interpret, tile=tile, tab=tab,
+        )
 
     def fused_step(t0, dt, y0_flat, f0_flat):
         batch, n = y0_flat.shape
@@ -323,6 +509,77 @@ def make_fused_dopri5_step(
             n1s, n1b, w1, b1, m1,
             n2s, n2b, w2, b2, m2,
             n3s, n3b,
+        )
+        flat = lambda z: z.reshape(batch, n)
+        return flat(y1), flat(f1), flat(y_mid), ratio[:, 0]
+
+    return fused_step
+
+
+def _make_rows_step(
+    w1, w2, m1, m2, n1s, n1b, n2s, n2b, n3s, n3b, b1, b2, *,
+    hw, groups, rtol, atol, conv_strategy, mxu_dtype, interpret, tile, tab,
+):
+    """Build the rows-layout fused step (see _rk_step_kernel_rows): operands
+    pre-shaped so the kernel only ever sees 2D values."""
+    hh, ww = hw
+    rows_per = hh * ww
+    c = w1.shape[-1]
+    w1r = w1.reshape(9 * c, c)  # taps stacked (ky, kx) row-major
+    w2r = w2.reshape(9 * c, c)
+    m1r = m1.reshape(rows_per, c)
+    m2r = m2.reshape(rows_per, c)
+    row1 = lambda v: v.reshape(1, c)
+
+    def fused_step(t0, dt, y0_flat, f0_flat):
+        batch, n = y0_flat.shape
+        # Rows layout holds 8 (m, C) stage states with lanes padded C→128;
+        # tb=64 overflows the 16 MB scoped-VMEM stack (measured OOM class,
+        # probes/conv_probe_r3.log.err) — cap at 32.
+        tb = tile or min(32, _pick_tile(batch, hh, ww, c))
+        m_block = tb * rows_per
+        grid = (batch // tb,)
+
+        y0 = y0_flat.reshape(batch * rows_per, c)
+        f0 = f0_flat.reshape(batch * rows_per, c)
+        t_rows = jnp.repeat(t0.astype(jnp.float32), rows_per)[:, None]
+        dt_rows = jnp.repeat(dt.astype(jnp.float32), rows_per)[:, None]
+        m1_t = jnp.tile(m1r, (tb, 1))
+        m2_t = jnp.tile(m2r, (tb, 1))
+
+        rows = lambda: pl.BlockSpec((m_block, c), lambda g: (g, 0),
+                                    memory_space=pltpu.VMEM)
+        col = lambda: pl.BlockSpec((m_block, 1), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM)
+        samp_col = lambda: pl.BlockSpec((tb, 1), lambda g: (g, 0),
+                                        memory_space=pltpu.VMEM)
+        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        kern = functools.partial(
+            _rk_step_kernel_rows, groups=groups, strategy=conv_strategy,
+            rtol=float(rtol), atol=float(atol), tab=tab,
+            mxu_dtype=mxu_dtype, hw=hw,
+        )
+        scratch = ([pltpu.VMEM((m_block, 9 * c), mxu_dtype)]
+                   if conv_strategy == "rollS" else [])
+        y1, f1, y_mid, ratio = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct(y0.shape, y0_flat.dtype),
+                jax.ShapeDtypeStruct(y0.shape, y0_flat.dtype),
+                jax.ShapeDtypeStruct(y0.shape, y0_flat.dtype),
+                jax.ShapeDtypeStruct((batch, 1), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[col(), col(), rows(), rows()] + [full()] * 12,
+            out_specs=(rows(), rows(), rows(), samp_col()),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(
+            t_rows, dt_rows, y0, f0,
+            row1(n1s), row1(n1b), w1r, row1(b1), m1_t,
+            row1(n2s), row1(n2b), w2r, row1(b2), m2_t,
+            row1(n3s), row1(n3b),
         )
         flat = lambda z: z.reshape(batch, n)
         return flat(y1), flat(f1), flat(y_mid), ratio[:, 0]

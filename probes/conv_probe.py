@@ -148,7 +148,128 @@ def make_scratch_kernel(strategy: str, tb: int):
     return kernel, [pltpu.VMEM((m, 9 * C), mxu)]
 
 
+def make_roll_kernel(strategy: str, tb: int):
+    """2D-native conv: state lives as (TB*H*W, C) rows (row-major b,y,x)
+    and NEVER becomes 4D — each of the 9 taps is a sublane roll of the
+    whole row block plus an iota border mask.  No 4D reshapes = no Mosaic
+    relayouts (seq9's 366 us/conv at tb=32 is relayout-bound: W=7 rows
+    repack across the 8-sublane boundary on every patch).
+
+      roll9   9 rolled+masked (m, C) @ (C, C) dots, tree-summed
+      rollS   rolls stored into a (m, 9C) VMEM scratch, ONE (m,9C)@(9C,C) dot
+
+    Weights arrive pre-reshaped (9C, C) — 2D row slices only."""
+    base = strategy[:-5] if strategy.endswith("_bf16") else strategy
+    mxu = jnp.bfloat16 if strategy.endswith("_bf16") else jnp.float32
+    m = tb * H * W
+
+    def taps(h):
+        """Yield (k, masked 2D patch f32) for the 9 taps."""
+        r = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        y_pos = (r // W) % H
+        x_pos = r % W
+        for ky in range(3):
+            for kx in range(3):
+                k = ky * 3 + kx
+                off = (ky - 1) * W + (kx - 1)
+                shifted = pltpu.roll(h, (-off) % m, 0) if off else h
+                ys = y_pos + (ky - 1)
+                xs = x_pos + (kx - 1)
+                mask = ((ys >= 0) & (ys < H) & (xs >= 0) & (xs < W))
+                yield k, jnp.where(mask, shifted, 0.0)
+
+    if base == "dotonly":
+        # Lower bound: ONE (m, 9C)@(9C, C) dot on an unbuilt (tiled) patch —
+        # prices the MXU work with zero patch-building (wrong numerics).
+        def kernel(x_ref, w_ref, out_ref, patch_ref):
+            h = x_ref[:].astype(mxu)
+            for k in range(9):
+                patch_ref[:, k * C:(k + 1) * C] = h
+            out_ref[:] = jnp.dot(patch_ref[:], w_ref[:].astype(mxu),
+                                 preferred_element_type=jnp.float32)
+
+        return kernel, [pltpu.VMEM((m, 9 * C), mxu)]
+
+    if base in ("norollS", "nomaskS"):
+        # Diagnostics: rollS with the roll (resp. the mask) removed — wrong
+        # numerics, isolates which patch-building op eats the time.
+        def kernel(x_ref, w_ref, out_ref, patch_ref):
+            h = x_ref[:].astype(jnp.float32)
+            r = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+            y_pos = (r // W) % H
+            x_pos = r % W
+            for ky in range(3):
+                for kx in range(3):
+                    k = ky * 3 + kx
+                    off = (ky - 1) * W + (kx - 1)
+                    if base == "norollS":
+                        ys = y_pos + (ky - 1)
+                        xs = x_pos + (kx - 1)
+                        mask = ((ys >= 0) & (ys < H) & (xs >= 0) & (xs < W))
+                        p = jnp.where(mask, h, 0.0)
+                    else:
+                        p = pltpu.roll(h, (-off) % m, 0) if off else h
+                    patch_ref[:, k * C:(k + 1) * C] = p.astype(mxu)
+            out_ref[:] = jnp.dot(patch_ref[:], w_ref[:].astype(mxu),
+                                 preferred_element_type=jnp.float32)
+
+        return kernel, [pltpu.VMEM((m, 9 * C), mxu)]
+
+    if base == "roll9":
+        def kernel(x_ref, w_ref, out_ref):
+            h = x_ref[:].astype(jnp.float32)
+            w2 = w_ref[:].astype(mxu)  # (9C, C)
+            prods = [
+                jnp.dot(p.astype(mxu), w2[k * C:(k + 1) * C],
+                        preferred_element_type=jnp.float32)
+                for k, p in taps(h)
+            ]
+            while len(prods) > 1:
+                prods = [a + b for a, b in zip(prods[::2], prods[1::2])] + (
+                    [prods[-1]] if len(prods) % 2 else [])
+            out_ref[:] = prods[0]
+
+        return kernel, []
+
+    def kernel(x_ref, w_ref, out_ref, patch_ref):
+        h = x_ref[:].astype(jnp.float32)
+        for k, p in taps(h):
+            patch_ref[:, k * C:(k + 1) * C] = p.astype(mxu)
+        out_ref[:] = jnp.dot(patch_ref[:], w_ref[:].astype(mxu),
+                             preferred_element_type=jnp.float32)
+
+    return kernel, [pltpu.VMEM((m, 9 * C), mxu)]
+
+
+def pallas_conv_2d(strategy: str, tb: int):
+    kern, scratch = make_roll_kernel(strategy, tb)
+    mrows = tb * H * W
+
+    @jax.jit
+    def run(x, w):
+        x2 = x.reshape(B * H * W, C)
+        w2 = w.reshape(9 * C, C)
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B * H * W, C), jnp.float32),
+            grid=(B // tb,),
+            in_specs=[
+                pl.BlockSpec((mrows, C), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((mrows, C), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        )(x2, w2)
+        return out.reshape(B, H, W, C)
+
+    return run
+
+
 def pallas_conv(strategy: str, tb: int):
+    if strategy.startswith("roll"):
+        return pallas_conv_2d(strategy, tb)
     if strategy.startswith("im2colS"):
         kern, scratch = make_scratch_kernel(strategy[len("im2colS"):], tb)
     else:
