@@ -534,9 +534,9 @@ def _make_rows_step(
     def fused_step(t0, dt, y0_flat, f0_flat):
         batch, n = y0_flat.shape
         # Rows layout holds 8 (m, C) stage states with lanes padded C→128;
-        # tb=64 overflows the 16 MB scoped-VMEM stack (measured OOM class,
-        # probes/conv_probe_r3.log.err) — cap at 32.
-        tb = tile or min(32, _pick_tile(batch, hh, ww, c))
+        # tb=32 overflows the 16 MB scoped-VMEM stack by 20 KB (measured,
+        # probes/rk_step_probe.log.err) — cap at 16.
+        tb = tile or min(16, _pick_tile(batch, hh, ww, c))
         m_block = tb * rows_per
         grid = (batch // tb,)
 

@@ -166,9 +166,10 @@ def odeint_dense(
         active = ~c.get("done")
         t0_, dt, y0_, f0 = c["t"], c["dt"], c["y"], c["f"]
 
-        y1, err, f1, new_evals, data = _rk_attempt(
+        y1, err, f1, new_evals, parts_fn = _rk_attempt(
             tableau, flat_func, t0_, dt, y0_, f0, dtype
         )
+        data = jnp.stack(parts_fn())  # this solver STORES coeffs
         ratio = _error_ratio(err, y0_, y1, rtol, atol)
         accept = (ratio <= 1.0) & active
         t1_ = t0_ + dt

@@ -151,19 +151,7 @@ def _select_initial_step(func, t0, y0, f0, direction, rtol, atol, order):
     return jnp.minimum(100.0 * h0, h1) * direction
 
 
-def _polyval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Horner evaluation of monomial coefficients.
-
-    coeffs: (D+1, B, N) with coeffs[i] the x**i coefficient; x: (T, B, 1).
-    Returns (T, B, N).
-    """
-    val = jnp.broadcast_to(coeffs[-1], (x.shape[0],) + coeffs.shape[1:])
-    for i in range(coeffs.shape[0] - 2, -1, -1):
-        val = val * x + coeffs[i]
-    return val
-
-
-def _dense_write(fit, data, ts, t0, t1, dt, direction, accept, out):
+def _dense_write(fit, parts_fn, ts, t0, t1, dt, direction, accept, out):
     """Fit the dense-output polynomial on an accepted step and write every
     requested output time the step covers.
 
@@ -174,19 +162,40 @@ def _dense_write(fit, data, ts, t0, t1, dt, direction, accept, out):
     which would leave ``out[j]`` permanently at its zeros initialisation.
     The evaluation coordinate is clamped to [0, 1] for the same reason.
 
-    fit: (D+1, D+1) collocation matrix; data: (D+1, B, N); out: the carried
+    HBM discipline: the polynomial is NOT materialised as coefficient
+    arrays.  ``p(x) = Σ_c (fit @ data)_c x^c = Σ_d g_d(x)·parts_d`` with
+    ``g_d(x) = Σ_c fit[c, d] x^c`` per-sample *scalars* — so each of the
+    D+1 (B, N) data components is read exactly once per output time,
+    versus the coefficient form's stack(D+1 copies) + einsum + Horner
+    (~4(D+1) (B, N) traversals per loop iteration; measurable at the
+    T=2 classification shape, where the RK linear algebra is the
+    HBM-bound half of solve time — RESULTS.md "Decomposition").
+
+    fit: (D+1, D+1) collocation matrix; parts: tuple of D+1 (B, N) data
+    components (y0, y1[, y_mid], dt·f0, dt·f1); out: the carried
     (T-1, B, N) buffer for ts[1:] (ts[0] ≡ y0 lives outside the loop).
     """
     ts_tail = ts[1:]
-    coeffs = jnp.einsum("cd,dbn->cbn", fit, data)
     covered = (
         accept[None, :]
         & (direction * (ts_tail[:, None] - t0[None, :]) > 0.0)
         & (direction * (ts_tail[:, None] - t1[None, :]) <= 0.0)
     )
-    x = jnp.clip((ts_tail[:, None] - t0[None, :]) / dt[None, :], 0.0, 1.0)
-    vals = _polyval(coeffs, x[:, :, None])
-    return jnp.where(covered[:, :, None], vals, out)
+
+    def write(out):
+        parts = parts_fn()
+        x = jnp.clip((ts_tail[:, None] - t0[None, :]) / dt[None, :],
+                     0.0, 1.0)
+        d1 = fit.shape[0]
+        xp = jnp.stack([x**c for c in range(d1)])  # (D+1, T-1, B) — tiny
+        g = jnp.einsum("cd,ctb->dtb", fit, xp)     # per-sample scalars
+        vals = sum(g[d][:, :, None] * parts[d][None] for d in range(d1))
+        return jnp.where(covered[:, :, None], vals, out)
+
+    # Most loop iterations cover no output time at all (T=2 classification:
+    # exactly one covering step per sample in a ~5-8 step solve) — gate the
+    # whole evaluation, including every (B, N) data read, on one scalar.
+    return lax.cond(jnp.any(covered), write, lambda o: o, out)
 
 
 def _rk_attempt(tableau: ButcherTableau, func, t0, dt, y0, f0, dtype):
@@ -194,8 +203,13 @@ def _rk_attempt(tableau: ButcherTableau, func, t0, dt, y0, f0, dtype):
     odeint_dense (duplicating the stage kernel caused silent drift between
     the two solvers).
 
-    Returns ``(y1, err, f1, new_evals, interp_data)`` where ``interp_data``
-    stacks the dense-output fit inputs: [y0, y1, (y_mid,) dt·f0, dt·f1].
+    Returns ``(y1, err, f1, new_evals, parts_fn)`` where ``parts_fn()``
+    yields the tuple of dense-output fit inputs
+    ``(y0, y1, (y_mid,) dt·f0, dt·f1)`` — a thunk, so consumers that
+    evaluate the interpolant conditionally (``_dense_write`` under its
+    any-covered ``lax.cond``) keep the y_mid combination and the dt·f
+    products inside the branch, and nobody materialises a (D+1, B, N)
+    stack unless they truly store it (solver/dense.py does).
     """
     dt_col = dt[:, None]
     stages = tableau.stages
@@ -228,14 +242,16 @@ def _rk_attempt(tableau: ButcherTableau, func, t0, dt, y0, f0, dtype):
         new_evals = stages
 
     if tableau.c_mid is not None:
-        y_mid = y0 + dt_col * sum(
-            jnp.asarray(m, dtype) * ks[j]
-            for j, m in enumerate(tableau.c_mid) if float(m) != 0.0
-        )
-        data = jnp.stack([y0, y1, y_mid, dt_col * f0, dt_col * f1])
+        def parts_fn():
+            y_mid = y0 + dt_col * sum(
+                jnp.asarray(m, dtype) * ks[j]
+                for j, m in enumerate(tableau.c_mid) if float(m) != 0.0
+            )
+            return (y0, y1, y_mid, dt_col * f0, dt_col * f1)
     else:
-        data = jnp.stack([y0, y1, dt_col * f0, dt_col * f1])
-    return y1, err, f1, new_evals, data
+        def parts_fn():
+            return (y0, y1, dt_col * f0, dt_col * f1)
+    return y1, err, f1, new_evals, parts_fn
 
 
 def adaptive_odeint(
@@ -337,11 +353,10 @@ def adaptive_odeint(
             y1, f1, y_mid, ratio = fused_step(t0, dt, y0, f0)
             new_evals = tableau.stages - 1
             dt_col = dt[:, None]
-            data = jnp.stack(
-                [y0, y1, y_mid, dt_col * f0, dt_col * f1])
+            parts_fn = lambda: (y0, y1, y_mid, dt_col * f0, dt_col * f1)
             ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
         else:
-            y1, err, f1, new_evals, data = _rk_attempt(
+            y1, err, f1, new_evals, parts_fn = _rk_attempt(
                 tableau, func, t0, dt, y0, f0, dtype
             )
             ratio = _error_ratio(err, y0, y1, rtol, atol, error_mask)
@@ -349,7 +364,8 @@ def adaptive_odeint(
         t1 = t0 + dt
 
         # --- dense output: fit p(x), x=(t-t0)/dt ∈ [0,1], on this step ---
-        out = _dense_write(fit, data, ts, t0, t1, dt, direction, accept, c.out)
+        out = _dense_write(fit, parts_fn, ts, t0, t1, dt, direction, accept,
+                           c.out)
 
         # --- controller + masked state update ---
         new_dt = jnp.where(

@@ -268,7 +268,7 @@ def pallas_conv_2d(strategy: str, tb: int):
 
 
 def pallas_conv(strategy: str, tb: int):
-    if strategy.startswith("roll"):
+    if strategy.startswith(("roll", "dotonly", "norollS", "nomaskS")):
         return pallas_conv_2d(strategy, tb)
     if strategy.startswith("im2colS"):
         kern, scratch = make_scratch_kernel(strategy[len("im2colS"):], tb)

@@ -84,10 +84,10 @@ def jnp_step(cfg, params):
         return odefunc_apply(params, t, h, cfg).reshape(B, N)
 
     def step(t0, dt, y0, f0):
-        y1, err, f1, _, data = _rk_attempt(
+        y1, err, f1, _, parts_fn = _rk_attempt(
             tab, func, t0, dt, y0, f0, jnp.float32)
         ratio = _error_ratio(err, y0, y1, RTOL, ATOL, None)
-        y_mid = data[2]
+        y_mid = parts_fn()[2]
         return y1, f1, y_mid, ratio
 
     return func, step

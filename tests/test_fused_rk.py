@@ -45,7 +45,8 @@ def setup():
     return cfg, params, h
 
 
-def test_step_matches_rk_attempt(setup):
+@pytest.mark.parametrize("strategy", ["rollS", "roll9", "im2col", "tree9"])
+def test_step_matches_rk_attempt(setup, strategy):
     cfg, params, h = setup
     tab = ADAPTIVE_TABLEAUS["dopri5"]
     y0 = h.reshape(B, -1)
@@ -60,20 +61,21 @@ def test_step_matches_rk_attempt(setup):
     dt = jnp.asarray(rng.uniform(0.05, 0.2, B).astype(np.float32))
     f0 = func(t0, y0)
 
-    y1_ref, err_ref, f1_ref, _, data_ref = _rk_attempt(
+    y1_ref, err_ref, f1_ref, _, parts_fn_ref = _rk_attempt(
         tab, func, t0, dt, y0, f0, jnp.float32
     )
+    parts_ref = parts_fn_ref()
     ratio_ref = _error_ratio(err_ref, y0, y1_ref, RTOL, ATOL)
 
     fused = make_fused_dopri5_step(
         params["odefunc"], tab, (H, W), groups=cfg.groups,
-        rtol=RTOL, atol=ATOL, interpret=True,
+        rtol=RTOL, atol=ATOL, interpret=True, conv_strategy=strategy,
     )
     y1, f1, y_mid, ratio = fused(t0, dt, y0, f0)
 
     np.testing.assert_allclose(y1, y1_ref, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(f1, f1_ref, rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(y_mid, data_ref[2], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(y_mid, parts_ref[2], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(ratio, ratio_ref, rtol=2e-3, atol=1e-6)
 
 
