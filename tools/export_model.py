@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""AOT export / serve a trained model as a self-contained StableHLO artifact.
+
+The TPU-native deployment path: ``jax.export`` serialises the traced +
+lowered inference function (StableHLO + calling convention) so a serving
+process can run it WITHOUT the model code, config plumbing, or tracing —
+``jax.export.deserialize(blob).call(x)`` is the whole server loop.  This is
+the jax analogue of the torch ``torch.jit.trace``/ONNX deployment story the
+reference leaves to its consumers (reference: none — SURVEY.md §2.3 notes
+the reference ships no serving layer; this EXCEEDS parity).
+
+Modes:
+  export  load a run dir's best checkpoint, export logits(x) at a fixed
+          batch shape, write <out>.nodeexport + a sidecar JSON
+          (shape/dtype/config + sha256 of the blob).
+  run     deserialize a .nodeexport and execute it on the current backend
+          against the checkpoint's own logits — the deployment smoke test
+          (prints max|diff| and a throughput estimate).
+
+Examples:
+  python tools/export_model.py export --run runs_tpu/<dir> --batch 256
+  python tools/export_model.py run --artifact model.nodeexport \
+      --run runs_tpu/<dir>   # parity check vs the live model
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def _load(run_dir: Path, ckpt_name: str):
+    from neural_ode_features_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = run_dir / ckpt_name
+    if not ckpt.exists():  # fall back to last
+        ckpt = run_dir / "ckpt_last.msgpack"
+    params, cfg, extra = load_checkpoint(ckpt)
+    return params, cfg, extra
+
+
+def _logits_fn(params, cfg, model: str):
+    import jax.numpy as jnp
+
+    if model == "resnet":
+        from neural_ode_features_tpu.models import resnet_logits
+
+        def fn(x):
+            return resnet_logits(params, x, cfg)
+    else:
+        from neural_ode_features_tpu.models import odenet_logits
+
+        def fn(x):
+            logits, _ = odenet_logits(params, x, cfg, adjoint=False)
+            return logits
+    return fn
+
+
+def do_export(args):
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    params, cfg, extra = _load(Path(args.run), args.ckpt)
+    model = extra.get("model", "odenet")
+    side = 32 if cfg.in_channels == 3 else 28
+    shape = (args.batch, side, side, cfg.in_channels)
+    fn = _logits_fn(params, cfg, model)
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct(shape, jnp.float32))
+    blob = exported.serialize()
+
+    out = Path(args.out or (Path(args.run) / f"model_b{args.batch}.nodeexport"))
+    out.write_bytes(blob)
+    meta = {
+        "input_shape": list(shape),
+        "input_dtype": "float32",
+        "model": model,
+        "platforms": list(exported.platforms),
+        "sha256": hashlib.sha256(blob).hexdigest(),
+        "bytes": len(blob),
+        "config": {k: v for k, v in vars(cfg).items()
+                   if not k.startswith("_")},
+    }
+    out.with_suffix(out.suffix + ".json").write_text(json.dumps(meta, indent=2))
+    print(f"exported {out} ({len(blob)/1e6:.2f} MB, "
+          f"platforms={meta['platforms']})")
+    print(json.dumps({"artifact": str(out), **{k: meta[k] for k in
+                                               ("bytes", "sha256")}}))
+
+
+def do_run(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    blob = Path(args.artifact).read_bytes()
+    meta = json.loads(Path(args.artifact + ".json").read_text())
+    exported = jexport.deserialize(blob)
+    shape = tuple(meta["input_shape"])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    call = jax.jit(exported.call)
+    logits = jax.device_get(call(x))  # compile + run
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        logits = jax.device_get(call(x))
+    dt = (time.perf_counter() - t0) / args.reps
+    print(f"artifact runs: out shape {logits.shape}, "
+          f"{shape[0]/dt:,.0f} img/s ({dt*1e3:.1f} ms/batch, "
+          f"backend={jax.default_backend()})")
+
+    if args.run:  # parity vs the live model
+        params, cfg, extra = _load(Path(args.run), args.ckpt)
+        fn = _logits_fn(params, cfg, extra.get("model", "odenet"))
+        ref = jax.device_get(jax.jit(fn)(x))
+        diff = float(np.abs(ref - logits).max())
+        agree = float((ref.argmax(-1) == logits.argmax(-1)).mean())
+        print(f"parity vs live model: max|diff|={diff:.2e}, "
+              f"argmax agreement={agree:.4f}")
+        assert agree == 1.0, "exported artifact diverges from the live model"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+    pe = sub.add_parser("export")
+    pe.add_argument("--run", required=True, help="run dir with checkpoints")
+    pe.add_argument("--ckpt", default="ckpt_best.msgpack")
+    pe.add_argument("--batch", type=int, default=256)
+    pe.add_argument("--out", default=None)
+    pe.add_argument("--cpu", action="store_true")
+    pe.set_defaults(fn=do_export)
+    pr = sub.add_parser("run")
+    pr.add_argument("--artifact", required=True)
+    pr.add_argument("--run", default=None,
+                    help="optional run dir for a live-model parity check")
+    pr.add_argument("--ckpt", default="ckpt_best.msgpack")
+    pr.add_argument("--reps", type=int, default=3)
+    pr.add_argument("--cpu", action="store_true")
+    pr.set_defaults(fn=do_run)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
