@@ -207,239 +207,12 @@ def _odefunc_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Fused backward kernel (the custom-VJP pair)
+# Fused backward (the custom-VJP pair) — rows-layout kernel, see
+# odefunc_bwd_rows.py.  Round 2's 4D backward kernel compiled but overflowed
+# Mosaic's scoped-VMEM stack on hardware (57 MB vs 16 MB: unrolled 9-tap
+# conv backwards don't share stack slots); the rows layout stages taps
+# through one reused VMEM scratch and keeps every value 2D.
 # ---------------------------------------------------------------------------
-def _gn_stats(h, groups, eps=1e-5):
-    """Forward GroupNorm statistics for recompute-in-backward: returns
-    (x_hat fp32 (TB, H, W, C), inv_c (TB, C))."""
-    tb, hh, ww, c = h.shape
-    gsize = c // groups
-    n = hh * ww * gsize
-    assign = _group_assign(c, groups)
-    h32 = h.astype(jnp.float32)
-    s_g = jnp.dot(jnp.sum(h32, axis=(1, 2)), assign,
-                  preferred_element_type=jnp.float32)
-    mean_bc = jnp.dot(s_g / n, assign.T, preferred_element_type=jnp.float32)
-    d = h32 - mean_bc[:, None, None, :]
-    var_g = jnp.dot(jnp.sum(d * d, axis=(1, 2)), assign,
-                    preferred_element_type=jnp.float32) / n
-    inv_c = jnp.dot(jax.lax.rsqrt(var_g + eps), assign.T,
-                    preferred_element_type=jnp.float32)
-    return d * inv_c[:, None, None, :], inv_c
-
-
-def _group_mean_bc(z, groups):
-    """Per-(sample, group) mean of z over its group's (H, W, C/G) elements,
-    broadcast back to channels: (TB, H, W, C) → (TB, C)."""
-    tb, hh, ww, c = z.shape
-    gsize = c // groups
-    n = hh * ww * gsize
-    assign = _group_assign(c, groups)
-    s_g = jnp.dot(jnp.sum(z, axis=(1, 2)), assign,
-                  preferred_element_type=jnp.float32)
-    return jnp.dot(s_g / n, assign.T, preferred_element_type=jnp.float32)
-
-
-def _gn_dx(dxhat, x_hat, inv_c, groups):
-    """GroupNorm input gradient from the x̂ cotangent:
-    dx = inv · (dx̂ − mean_g(dx̂) − x̂ · mean_g(dx̂·x̂))."""
-    m1 = _group_mean_bc(dxhat, groups)[:, None, None, :]
-    m2 = _group_mean_bc(dxhat * x_hat, groups)[:, None, None, :]
-    return inv_c[:, None, None, :] * (dxhat - m1 - x_hat * m2)
-
-
-def _concat_conv3x3_bwd(g, src, t_col, w):
-    """Backward of :func:`_concat_conv3x3` for one tile.
-
-    ``g`` (TB, H, W, C) output cotangent, ``src`` (TB, H, W, C) the conv's
-    (pre-concat) input, ``t_col`` (TB, 1), ``w`` (3, 3, C+1, C).
-    Returns (d_src, d_t (TB,), dW (3,3,C+1,C), db (C,)) — d input channel 0
-    is the time channel, folded into d_t."""
-    tb, hh, ww, c = g.shape
-    t_map = jnp.broadcast_to(t_col[:, :, None, None], (tb, 1, hh, ww))
-    t_map = jnp.transpose(t_map, (0, 2, 3, 1))
-    ht = jnp.concatenate([t_map, src.astype(jnp.float32)], axis=-1)
-    hp = jnp.pad(ht, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    g32 = g.astype(jnp.float32)
-    g_flat = g32.reshape(tb * hh * ww, c)
-    gp = jnp.pad(g32, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
-    dw = []
-    dht = jnp.zeros((tb, hh, ww, c + 1), jnp.float32)
-    for ky in range(3):
-        row = []
-        for kx in range(3):
-            patch = hp[:, ky : ky + hh, kx : kx + ww, :].reshape(
-                tb * hh * ww, c + 1
-            )
-            row.append(jnp.dot(patch.T, g_flat,
-                               preferred_element_type=jnp.float32))
-            # d ht[j,i] += g[j+1−ky, i+1−kx] @ w[ky,kx]ᵀ  (see forward index
-            # algebra): with g padded by 1 this is the (2−ky, 2−kx) patch.
-            gpatch = gp[:, 2 - ky : 2 - ky + hh, 2 - kx : 2 - kx + ww, :]
-            dht = dht + jnp.dot(
-                gpatch.reshape(tb * hh * ww, c), w[ky, kx].T,
-                preferred_element_type=jnp.float32,
-            ).reshape(tb, hh, ww, c + 1)
-        dw.append(row)
-    dW = jnp.stack([jnp.stack(r) for r in dw])  # (3, 3, C+1, C)
-    db = jnp.sum(g_flat, axis=0)
-    # Keep a trailing size-1 axis: Mosaic rejects reductions over both
-    # trailing dims unless the result ends in a 1-axis (hardware-measured).
-    d_t = jnp.sum(dht[..., :1], axis=(1, 2))  # (TB, 1)
-    d_src = dht[..., 1:]
-    return d_src, d_t, dW, db
-
-
-def _odefunc_bwd_kernel(
-    t_ref, x_ref,
-    n1s_ref, n1b_ref, w1_ref, b1_ref,
-    n2s_ref, n2b_ref, w2_ref, b2_ref,
-    n3s_ref, n3b_ref,
-    g_ref,
-    dx_ref, dt_ref,
-    dn1s_ref, dn1b_ref, dw1_ref, db1_ref,
-    dn2s_ref, dn2b_ref, dw2_ref, db2_ref,
-    dn3s_ref, dn3b_ref,
-    *, groups: int,
-):
-    # Parameter-gradient accumulators live in one revisited output block;
-    # zero them on the first batch tile, then accumulate (the TPU grid is
-    # sequential, so read-modify-write is race-free).
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for ref in (dn1s_ref, dn1b_ref, dw1_ref, db1_ref,
-                    dn2s_ref, dn2b_ref, dw2_ref, db2_ref,
-                    dn3s_ref, dn3b_ref):
-            ref[:] = jnp.zeros(ref.shape, ref.dtype)
-
-    t_col = t_ref[:]
-    h = x_ref[:]
-    g = g_ref[:].astype(jnp.float32)
-    w1 = w1_ref[:]
-    w2 = w2_ref[:]
-    n1s, n2s, n3s = n1s_ref[:], n2s_ref[:], n3s_ref[:]
-
-    # --- recompute the forward intermediates in VMEM -----------------------
-    xh1, inv1 = _gn_stats(h, groups)
-    y1 = xh1 * n1s + n1b_ref[:]
-    r1 = jnp.maximum(y1, 0.0)
-    u = _concat_conv3x3(r1, t_col, w1, b1_ref[:])
-    xh2, inv2 = _gn_stats(u, groups)
-    y2 = xh2 * n2s + n2b_ref[:]
-    r2 = jnp.maximum(y2, 0.0)
-    v = _concat_conv3x3(r2, t_col, w2, b2_ref[:])
-    xh3, inv3 = _gn_stats(v, groups)
-
-    # --- GN3 ---------------------------------------------------------------
-    dn3s_ref[:] = dn3s_ref[:] + jnp.sum(g * xh3, axis=(0, 1, 2))
-    dn3b_ref[:] = dn3b_ref[:] + jnp.sum(g, axis=(0, 1, 2))
-    gv = _gn_dx(g * n3s, xh3, inv3, groups)
-
-    # --- conv2 ---------------------------------------------------------------
-    g_r2, dt2, dW2, db2 = _concat_conv3x3_bwd(gv, r2, t_col, w2)
-    dw2_ref[:] = dw2_ref[:] + dW2
-    db2_ref[:] = db2_ref[:] + db2
-
-    # --- ReLU2 + GN2 ---------------------------------------------------------
-    g_y2 = g_r2 * (y2 > 0.0)
-    dn2s_ref[:] = dn2s_ref[:] + jnp.sum(g_y2 * xh2, axis=(0, 1, 2))
-    dn2b_ref[:] = dn2b_ref[:] + jnp.sum(g_y2, axis=(0, 1, 2))
-    gu = _gn_dx(g_y2 * n2s, xh2, inv2, groups)
-
-    # --- conv1 ---------------------------------------------------------------
-    g_r1, dt1, dW1, db1 = _concat_conv3x3_bwd(gu, r1, t_col, w1)
-    dw1_ref[:] = dw1_ref[:] + dW1
-    db1_ref[:] = db1_ref[:] + db1
-
-    # --- ReLU1 + GN1 ---------------------------------------------------------
-    g_y1 = g_r1 * (y1 > 0.0)
-    dn1s_ref[:] = dn1s_ref[:] + jnp.sum(g_y1 * xh1, axis=(0, 1, 2))
-    dn1b_ref[:] = dn1b_ref[:] + jnp.sum(g_y1, axis=(0, 1, 2))
-    dh = _gn_dx(g_y1 * n1s, xh1, inv1, groups)
-
-    dx_ref[:] = dh.astype(dx_ref.dtype)
-    dt_ref[:] = (dt1 + dt2).astype(dt_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("groups", "interpret"))
-def _odefunc_pallas_bwd(params, t, h, g, *, groups: int, interpret: bool):
-    b, hh, ww, c = h.shape
-    t_b = jnp.broadcast_to(jnp.asarray(t, h.dtype).reshape(-1), (b,))
-    t_col = t_b[:, None]
-    w1 = params["conv1"]["kernel"].astype(jnp.float32)
-    w2 = params["conv2"]["kernel"].astype(jnp.float32)
-
-    # The backward holds ~16 live fp32 copies of the padded tile.
-    tb = _pick_tile(b, hh, ww, c, copies=16)
-    grid = (b // tb,)
-
-    def block():
-        return pl.BlockSpec(
-            (tb, hh, ww, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        )
-
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    tcol_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-
-    def acc(shape):
-        # Revisited accumulator: every grid step maps to block (0, ...).
-        nd = len(shape)
-        return (
-            jax.ShapeDtypeStruct(shape, jnp.float32),
-            pl.BlockSpec(shape, lambda i: (0,) * nd,
-                         memory_space=pltpu.VMEM),
-        )
-
-    out_shapes = [
-        jax.ShapeDtypeStruct(h.shape, h.dtype),       # dx
-        jax.ShapeDtypeStruct((b, 1), jnp.float32),    # dt per sample
-    ]
-    out_specs = [block(), tcol_spec]
-    for shape in ((c,), (c,), (3, 3, c + 1, c), (c,),
-                  (c,), (c,), (3, 3, c + 1, c), (c,),
-                  (c,), (c,)):
-        sds, spec = acc(shape)
-        out_shapes.append(sds)
-        out_specs.append(spec)
-
-    outs = pl.pallas_call(
-        functools.partial(_odefunc_bwd_kernel, groups=groups),
-        out_shape=tuple(out_shapes),
-        grid=grid,
-        in_specs=[
-            tcol_spec, block(),
-            full(), full(), full(), full(),
-            full(), full(), full(), full(),
-            full(), full(),
-            block(),
-        ],
-        out_specs=tuple(out_specs),
-        interpret=interpret,
-    )(
-        t_col, h,
-        params["norm1"]["scale"], params["norm1"]["bias"], w1,
-        params["conv1"]["bias"],
-        params["norm2"]["scale"], params["norm2"]["bias"], w2,
-        params["conv2"]["bias"],
-        params["norm3"]["scale"], params["norm3"]["bias"],
-        g,
-    )
-    (dx, dt_col, dn1s, dn1b, dw1, db1, dn2s, dn2b, dw2, db2,
-     dn3s, dn3b) = outs
-    dparams = {
-        "norm1": {"scale": dn1s, "bias": dn1b},
-        "conv1": {"kernel": dw1.astype(params["conv1"]["kernel"].dtype),
-                  "bias": db1},
-        "norm2": {"scale": dn2s, "bias": dn2b},
-        "conv2": {"kernel": dw2.astype(params["conv2"]["kernel"].dtype),
-                  "bias": db2},
-        "norm3": {"scale": dn3s, "bias": dn3b},
-    }
-    return dparams, dt_col[:, 0], dx
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def odefunc_pallas_vjp(params, t, h, groups: int = 32,
                        interpret: bool | None = None):
@@ -460,8 +233,10 @@ def _vjp_bwd(groups, interpret, residuals, g):
     params, t, h = residuals
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    dparams, dt_b, dx = _odefunc_pallas_bwd(
-        params, t, h, g, groups=groups, interpret=interpret
+    from .odefunc_bwd_rows import odefunc_bwd_rows
+
+    dparams, dt_b, dx = odefunc_bwd_rows(
+        params, t, h, g, groups=groups, hw=h.shape[1:3], interpret=interpret
     )
     t_arr = jnp.asarray(t)
     # The forward broadcasts t (scalar / (1,) / (B,)) to (B,): the cotangent

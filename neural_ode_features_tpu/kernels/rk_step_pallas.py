@@ -406,10 +406,14 @@ def _ones_time_map(w, hh: int, ww: int):
     split ConcatConv lowering's t-channel contribution (ops/layers.py:161),
     computed once per solve outside the loop."""
     ones = jnp.ones((1, hh, ww, 1), jnp.float32)
+    # Strict f32: on TPU the DEFAULT conv precision is bf16 multiplies,
+    # which would round every weight in the map — this conv runs once per
+    # solve, and the backward kernel's gradient parity depends on it.
     m = lax.conv_general_dilated(
         ones, w[:, :, :1, :].astype(jnp.float32), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     return m[0]  # (H, W, C)
 

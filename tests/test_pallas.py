@@ -41,10 +41,13 @@ def test_pallas_scalar_t():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_pallas_vjp_matches_jnp_grads():
+@pytest.mark.parametrize("batch,side", [(8, 6), (32, 7)])
+def test_pallas_vjp_matches_jnp_grads(batch, side):
     """The fused backward kernel (odefunc_pallas_vjp) must reproduce
     jax.vjp of the jnp dynamics: gradients w.r.t. params, t and h all match
-    to f32 roundoff (VERDICT r1 weak #2: the custom-VJP kernel pair)."""
+    to f32 roundoff (VERDICT r1 weak #2: the custom-VJP kernel pair).
+    (32, 7) exercises the multi-tile grid (revisited accumulator blocks)
+    and the CIFAR-shape 7×7 rows layout — the hardware-probe shape."""
     from neural_ode_features_tpu.kernels.odefunc_pallas import (
         odefunc_pallas_vjp,
     )
@@ -52,7 +55,7 @@ def test_pallas_vjp_matches_jnp_grads():
     cfg = ModelConfig(in_channels=1)
     params = init_odenet(jax.random.PRNGKey(5), cfg)["odefunc"]
     key = jax.random.PRNGKey(6)
-    h = jax.random.normal(key, (8, 6, 6, 64), jnp.float32)
+    h = jax.random.normal(key, (batch, side, side, 64), jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(7), h.shape, jnp.float32)
     t = jnp.asarray(0.43)
 
