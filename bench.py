@@ -115,7 +115,7 @@ def parse_args(argv=None):
                    help="run the JAX side on CPU too (debug)")
     args = p.parse_args(argv)
     if args.warmup is not None:
-        args.repeats = max(args.repeats, args.warmup)
+        args.repeats = args.warmup  # alias: honor the requested count
     return args
 
 
@@ -272,16 +272,28 @@ def supervise(argv) -> dict:
                 " no JSON line"
                 + (" — retrying once" if attempt == 1 else ""))
 
-    # Salvage: best partial the child managed to record, else the skeleton.
-    result = dict(PARTIAL)
+    # Salvage: the FURTHEST-stage partial any attempt recorded (stdout
+    # partial from attempt 1 vs the mirrored partial file, which the later
+    # attempt overwrites), else the skeleton.  A measured value always
+    # beats a value-less record; between two measured records the later
+    # milestone wins.
+    stage_rank = {"start": 0, "import-jax": 1, "baseline-done": 2,
+                  "null-dispatch": 3, "compiled": 4, "first-timing": 5,
+                  "timed": 6, "done": 7}
+
+    def _score(rec):
+        if rec is None:
+            return (-1, -1)
+        return (1 if rec.get("value") is not None else 0,
+                stage_rank.get(rec.get("stage"), 0))
+
+    file_partial = None
     try:
         with open(partial_path) as f:
-            result = json.load(f)
+            file_partial = json.load(f)
     except (OSError, json.JSONDecodeError):
         pass
-    if best_partial is not None and (result.get("value") is None
-                                     or best_partial.get("value")):
-        result = best_partial
+    result = max((dict(PARTIAL), file_partial, best_partial), key=_score)
     result["incomplete"] = True
     result.setdefault("stage", "no-attempt")
     log(f"emitting salvaged partial JSON (stage={result.get('stage')})")
@@ -379,6 +391,19 @@ def inner_main(argv=None):
     x_np = rng.normal(
         size=(args.batch_size, side, side, cfg.in_channels)
     ).astype(np.float32)
+
+    # Effective fused-RK state (the model gate silently falls back to jnp
+    # for non-dopri5 / bf16 / unsupported shapes — report what actually
+    # runs, not the flag).  Stem output: 28→6×6, 32→7×7 (models/common).
+    from neural_ode_features_tpu.models.odenet import fused_rk_eligible
+
+    hidden_side = 6 if side == 28 else 7
+    fused_rk_active = fused_rk_eligible(
+        cfg, (args.batch_size, hidden_side, hidden_side, cfg.hidden),
+        jnp.float32)
+    if args.fused_rk and not fused_rk_active:
+        log("NOTE: --fused-rk requested but the model gate falls back to "
+            "the jnp path for this config (method/dtype/shape)")
 
     # --- CPU-oracle denominator FIRST (no TPU dependency) ------------------
     vs_baseline = None
@@ -652,7 +677,7 @@ def inner_main(argv=None):
         "backend": jax.default_backend(),
         "compute_dtype": cfg.compute_dtype,
         "pallas": args.pallas,
-        "fused_rk": args.fused_rk,
+        "fused_rk": fused_rk_active,
         "method": args.method,
         "tflops": round(achieved / 1e12, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,

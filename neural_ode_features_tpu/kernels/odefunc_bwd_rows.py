@@ -46,19 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .odefunc_pallas import _group_assign
+from .rk_step_pallas import _ones_time_map, _seg_matrix
 
 __all__ = ["odefunc_bwd_rows"]
-
-
-def _seg_matrix(tb: int, rows_per: int, transpose: bool = False):
-    """0/1 (TB, m) sample-segment matrix from iota (rows are row-major
-    (b, y, x), so sample boundaries fall every ``rows_per`` rows)."""
-    m = tb * rows_per
-    shape = (m, tb) if transpose else (tb, m)
-    row_axis, samp_axis = (0, 1) if transpose else (1, 0)
-    row = lax.broadcasted_iota(jnp.int32, shape, row_axis) // rows_per
-    samp = lax.broadcasted_iota(jnp.int32, shape, samp_axis)
-    return (row == samp).astype(jnp.float32)
 
 
 def _tap_mask(m: int, hw, k: int):
@@ -269,8 +259,6 @@ def odefunc_bwd_rows(params, t, h, g, *, groups: int, hw, interpret: bool):
     w2 = params["conv2"]["kernel"].astype(jnp.float32)
     w1s = w1[:, :, 1:, :].reshape(9 * c, c)
     w2s = w2[:, :, 1:, :].reshape(9 * c, c)
-    from .rk_step_pallas import _ones_time_map
-
     m1 = _ones_time_map(w1, hh, ww).reshape(rows_per, c)
     m2 = _ones_time_map(w2, hh, ww).reshape(rows_per, c)
 

@@ -539,8 +539,12 @@ def _make_rows_step(
         batch, n = y0_flat.shape
         # Rows layout holds 8 (m, C) stage states with lanes padded C→128;
         # tb=32 overflows the 16 MB scoped-VMEM stack by 20 KB (measured,
-        # probes/rk_step_probe.log.err) — cap at 16.
+        # probes/rk_step_probe.log.err) — cap at 16, then shrink to a
+        # divisor of batch (a bare min() would make grid = batch // tb
+        # silently drop the tail samples).
         tb = tile or min(16, _pick_tile(batch, hh, ww, c))
+        while batch % tb:
+            tb -= 1
         m_block = tb * rows_per
         grid = (batch // tb,)
 

@@ -87,6 +87,24 @@ def init_odenet(key, cfg: ModelConfig):
     }
 
 
+def fused_rk_eligible(cfg: ModelConfig, h0_shape, h0_dtype) -> bool:
+    """True iff :func:`_solve` will actually install the fused RK-step
+    Pallas kernel for this config and hidden-state shape.  Exposed so
+    callers that *report* the fused flag (bench.py) can record the
+    effective state rather than echoing the request — the gate silently
+    falls back to the jnp path for non-dopri5 / bf16 / global-error /
+    unsupported-shape configurations."""
+    if not (cfg.use_fused_rk and cfg.method == "dopri5"
+            and cfg.error_control == "per_sample"
+            and cfg.compute_dtype == "float32"
+            and h0_dtype == jnp.float32 and len(h0_shape) == 4):
+        return False
+    from ..kernels.rk_step_pallas import fused_rk_supported
+
+    b, hh, ww, c = h0_shape
+    return fused_rk_supported(b, hh * ww * c, (hh, ww), cfg.groups)
+
+
 def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
            nfe_sink=None):
     """Run the ODE block over ``ts``; returns ((T, B, H, W, C), stats)."""
@@ -117,28 +135,21 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
         return odefunc_apply(params["odefunc"], t, y, cfg)
 
     fused_step = None
-    if (cfg.use_fused_rk and cfg.method == "dopri5"
-            and cfg.error_control == "per_sample"
-            and cfg.compute_dtype == "float32"
-            and h0.dtype == jnp.float32 and h0.ndim == 4):
+    if fused_rk_eligible(cfg, h0.shape, h0.dtype):
         # Whole-RK-step Pallas kernel: 6 FSAL dynamics evals + stage sums +
         # embedded error norm VMEM-resident (kernels/rk_step_pallas.py).
-        from ..kernels.rk_step_pallas import (
-            fused_rk_supported,
-            make_fused_dopri5_step,
-        )
+        from ..kernels.rk_step_pallas import make_fused_dopri5_step
         from ..solver.tableau import ADAPTIVE_TABLEAUS
 
-        b, hh, ww, c = h0.shape
-        if fused_rk_supported(b, hh * ww * c, (hh, ww), cfg.groups):
-            fused_step = make_fused_dopri5_step(
-                params["odefunc"],
-                ADAPTIVE_TABLEAUS["dopri5"],
-                (hh, ww),
-                groups=cfg.groups,
-                rtol=cfg.tol,
-                atol=cfg.tol,
-            )
+        hh, ww = h0.shape[1:3]
+        fused_step = make_fused_dopri5_step(
+            params["odefunc"],
+            ADAPTIVE_TABLEAUS["dopri5"],
+            (hh, ww),
+            groups=cfg.groups,
+            rtol=cfg.tol,
+            atol=cfg.tol,
+        )
 
     return odeint(
         dyn_closed,

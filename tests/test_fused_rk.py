@@ -114,6 +114,37 @@ def test_trajectory_dense_output_matches(setup):
     np.testing.assert_allclose(traj, traj_ref, rtol=1e-3, atol=1e-3)
 
 
+def test_non_dividing_batch_tile(setup):
+    """Batches the ≤16 tile cap doesn't divide (e.g. B=20) must shrink the
+    tile to a divisor — a bare min() made grid = B // tb drop the tail
+    samples, leaving their outputs unwritten (regression, round 3)."""
+    cfg, params, _ = setup
+    tab = ADAPTIVE_TABLEAUS["dopri5"]
+    b = 20
+    rng = np.random.default_rng(6)
+    h = jnp.asarray(rng.normal(size=(b, H, W, C)).astype(np.float32) * 0.3)
+    y0 = h.reshape(b, -1)
+
+    def func(t, y):
+        return odefunc_apply(
+            params["odefunc"], t, y.reshape(b, H, W, C), cfg
+        ).reshape(b, -1)
+
+    t0 = jnp.zeros((b,), jnp.float32)
+    dt = jnp.full((b,), 0.1, jnp.float32)
+    f0 = func(t0, y0)
+    y1_ref, err_ref, f1_ref, _, _ = _rk_attempt(
+        tab, func, t0, dt, y0, f0, jnp.float32
+    )
+    fused = make_fused_dopri5_step(
+        params["odefunc"], tab, (H, W), groups=cfg.groups,
+        rtol=RTOL, atol=ATOL, interpret=True,
+    )
+    y1, f1, _, _ = fused(t0, dt, y0, f0)
+    np.testing.assert_allclose(y1, y1_ref, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(f1, f1_ref, rtol=2e-4, atol=2e-5)
+
+
 def test_supported_predicate():
     assert fused_rk_supported(64, 6 * 6 * 64, (6, 6), 32)
     assert not fused_rk_supported(64, 6 * 6 * 64 + 1, (6, 6), 32)

@@ -72,6 +72,9 @@ def main(argv=None):
     else:
         ts = jnp.asarray([0.0, 1.0])
 
+    # Clamp to the split size so a --limit below --batch-size still
+    # evaluates something instead of truncating n to 0 (ZeroDivisionError).
+    args.batch_size = min(args.batch_size, len(x))
     n = (len(x) // args.batch_size) * args.batch_size
     x, y = x[:n], y[:n]
 
