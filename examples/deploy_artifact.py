@@ -11,6 +11,12 @@ This is the jax analogue of the torch.jit.trace/ONNX hand-off the reference
 leaves to its consumers (reference: none — SURVEY.md §2.3; the full CLI is
 tools/export_model.py).
 
+For serving WITHOUT a Python interpreter at all, the next step up is the
+native C++ host: ``tools/export_model.py export-compiled`` writes a
+PJRT-serialized-executable artifact and ``native/pjrt_serve`` (make -C
+native) dlopens the PJRT plugin and executes it directly — see
+probes/native_serve_probe.sh for the hardware-verified loop.
+
 Runs anywhere:  python examples/deploy_artifact.py  (add --cpu off-TPU).
 """
 

@@ -1,0 +1,638 @@
+// pjrt_serve — native (C++) serving host for AOT-exported models.
+//
+// Loads a PJRT plugin (the axon TPU plugin on this box) with dlopen,
+// creates a client, deserializes a pre-compiled executable artifact
+// (written by `tools/export_model.py export-compiled`), and executes it
+// against .npy inputs — ZERO Python in the serving process.
+//
+// This is the framework's native runtime layer for deployment: the
+// reference ships no serving/native component at all (SURVEY.md §2.3 —
+// pure Python on torch), so this EXCEEDS parity; the design instead
+// follows the TPU-native deployment story: AOT-compile once in the
+// training environment, serve the serialized executable from a slim
+// native host that speaks the PJRT C API directly.
+//
+//   pjrt_serve <artifact_dir> [--selftest] [--bench N] [--input X.npy]
+//              [--output Y.npy] [--plugin SO] [--tol T]
+//
+// Artifact layout (see tools/export_model.py::do_export_compiled):
+//   executable.bin        PJRT serialized executable (platform-specific)
+//   sample_input.npy      deterministic input batch  (f32, C-order)
+//   expected_logits.npy   live-model logits for --selftest comparison
+//   meta.json             shapes/dtypes/sha256/config (for humans/tools)
+//
+// Build: `make -C native` (uses the PJRT C API header vendored by the
+// installed tensorflow package; the header is a self-contained C file).
+
+#include <dlfcn.h>
+#include <unistd.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstdarg>
+#include <chrono>
+#include <thread>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <random>
+#include <string>
+#include <vector>
+
+#include "tensorflow/compiler/xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+double now_s() {
+  using clk = std::chrono::steady_clock;
+  return std::chrono::duration<double>(clk::now().time_since_epoch()).count();
+}
+
+double t0 = now_s();
+
+void logf(const char* fmt, ...) {
+  std::fprintf(stderr, "[%7.1fs] ", now_s() - t0);
+  va_list ap;
+  va_start(ap, fmt);
+  std::vfprintf(stderr, fmt, ap);
+  va_end(ap);
+  std::fprintf(stderr, "\n");
+  std::fflush(stderr);
+}
+
+[[noreturn]] void die(const std::string& msg) {
+  std::fprintf(stderr, "pjrt_serve: FATAL: %s\n", msg.c_str());
+  std::exit(1);
+}
+
+const PJRT_Api* g_api = nullptr;
+
+// Every PJRT call returns PJRT_Error* (nullptr on success).
+void check(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args m;
+  m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  m.extension_start = nullptr;
+  m.error = err;
+  g_api->PJRT_Error_Message(&m);
+  std::string text(m.message, m.message_size);
+  PJRT_Error_Destroy_Args d;
+  d.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  d.extension_start = nullptr;
+  d.error = err;
+  g_api->PJRT_Error_Destroy(&d);
+  die(std::string(what) + ": " + text);
+}
+
+void await_event(PJRT_Event* ev, const char* what) {
+  PJRT_Event_Await_Args a;
+  a.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  a.extension_start = nullptr;
+  a.event = ev;
+  check(g_api->PJRT_Event_Await(&a), what);
+  PJRT_Event_Destroy_Args d;
+  d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  d.extension_start = nullptr;
+  d.event = ev;
+  g_api->PJRT_Event_Destroy(&d);
+}
+
+// ---------------------------------------------------------------- npy io --
+// Minimal NumPy .npy v1/v2 reader/writer for little-endian C-order arrays.
+
+struct Npy {
+  std::string descr;            // e.g. "<f4"
+  std::vector<int64_t> shape;
+  std::vector<char> data;       // raw bytes
+  size_t elems() const {
+    size_t n = 1;
+    for (int64_t d : shape) n *= static_cast<size_t>(d);
+    return n;
+  }
+};
+
+Npy npy_read(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) die("cannot open " + path);
+  char magic[8];
+  f.read(magic, 8);
+  if (std::memcmp(magic, "\x93NUMPY", 6) != 0) die(path + ": not .npy");
+  int major = magic[6];
+  uint32_t hlen = 0;
+  if (major == 1) {
+    uint16_t h16;
+    f.read(reinterpret_cast<char*>(&h16), 2);
+    hlen = h16;
+  } else {
+    f.read(reinterpret_cast<char*>(&hlen), 4);
+  }
+  std::string hdr(hlen, '\0');
+  f.read(hdr.data(), hlen);
+
+  auto find_val = [&](const std::string& key) -> std::string {
+    size_t k = hdr.find("'" + key + "'");
+    if (k == std::string::npos) die(path + ": npy header missing " + key);
+    size_t c = hdr.find(':', k);
+    return hdr.substr(c + 1);
+  };
+  std::string d = find_val("descr");
+  size_t q1 = d.find('\'');
+  size_t q2 = d.find('\'', q1 + 1);
+  Npy out;
+  out.descr = d.substr(q1 + 1, q2 - q1 - 1);
+  if (find_val("fortran_order").find("False") == std::string::npos)
+    die(path + ": fortran_order arrays unsupported");
+  std::string s = find_val("shape");
+  size_t p1 = s.find('(');
+  size_t p2 = s.find(')');
+  std::string tup = s.substr(p1 + 1, p2 - p1 - 1);
+  for (size_t i = 0; i < tup.size();) {
+    while (i < tup.size() && !isdigit(tup[i])) i++;
+    if (i >= tup.size()) break;
+    size_t j = i;
+    while (j < tup.size() && isdigit(tup[j])) j++;
+    out.shape.push_back(std::stoll(tup.substr(i, j - i)));
+    i = j;
+  }
+  size_t itemsize = std::stoul(out.descr.substr(2));
+  out.data.resize(out.elems() * itemsize);
+  f.read(out.data.data(), static_cast<std::streamsize>(out.data.size()));
+  if (!f) die(path + ": truncated data");
+  return out;
+}
+
+void npy_write(const std::string& path, const std::string& descr,
+               const std::vector<int64_t>& shape, const void* data,
+               size_t nbytes) {
+  std::string shp = "(";
+  for (size_t i = 0; i < shape.size(); i++)
+    shp += std::to_string(shape[i]) + (shape.size() == 1 || i + 1 < shape.size() ? "," : "");
+  shp += ")";
+  std::string hdr = "{'descr': '" + descr +
+                    "', 'fortran_order': False, 'shape': " + shp + ", }";
+  size_t total = 10 + hdr.size() + 1;  // +1 for '\n'
+  size_t pad = (64 - total % 64) % 64;
+  hdr += std::string(pad, ' ');
+  hdr += '\n';
+  uint16_t hlen = static_cast<uint16_t>(hdr.size());
+  std::ofstream f(path, std::ios::binary);
+  f.write("\x93NUMPY\x01\x00", 8);
+  f.write(reinterpret_cast<char*>(&hlen), 2);
+  f.write(hdr.data(), static_cast<std::streamsize>(hdr.size()));
+  f.write(static_cast<const char*>(data), static_cast<std::streamsize>(nbytes));
+}
+
+std::vector<char> read_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary | std::ios::ate);
+  if (!f) die("cannot open " + path);
+  std::streamsize n = f.tellg();
+  f.seekg(0);
+  std::vector<char> buf(static_cast<size_t>(n));
+  f.read(buf.data(), n);
+  return buf;
+}
+
+// ------------------------------------------------------------- pjrt glue --
+
+PJRT_NamedValue nv_str(const char* name, const char* val) {
+  PJRT_NamedValue v;
+  v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+  v.extension_start = nullptr;
+  v.name = name;
+  v.name_size = std::strlen(name);
+  v.type = PJRT_NamedValue_kString;
+  v.string_value = val;
+  v.value_size = std::strlen(val);
+  return v;
+}
+
+PJRT_NamedValue nv_i64(const char* name, int64_t val) {
+  PJRT_NamedValue v;
+  v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+  v.extension_start = nullptr;
+  v.name = name;
+  v.name_size = std::strlen(name);
+  v.type = PJRT_NamedValue_kInt64;
+  v.int64_value = val;
+  v.value_size = 1;
+  return v;
+}
+
+std::string mint_session_id() {
+  std::random_device rd;
+  char buf[37];
+  std::snprintf(buf, sizeof buf, "%08x-%04x-%04x-%04x-%012lx",
+                rd(), rd() & 0xffff, (rd() & 0x0fff) | 0x4000,
+                (rd() & 0x3fff) | 0x8000,
+                (static_cast<uint64_t>(rd()) << 16 | (rd() & 0xffff)) &
+                    0xffffffffffffUL);
+  return std::string(buf);
+}
+
+struct Ctx {
+  void* dso = nullptr;
+  PJRT_Client* client = nullptr;
+  PJRT_Device* device = nullptr;
+  PJRT_LoadedExecutable* exec = nullptr;
+};
+
+// Mirrors the option assembly of the Python registration path
+// (axon.register.pjrt._register_backend as driven by the box's
+// sitecustomize): pool mode over the loopback relay, remote_compile on,
+// monoclient rank sentinel, fresh session id.
+void client_create(Ctx& ctx) {
+  // Env contract the Python sitecustomize establishes per-process.
+  setenv("AXON_POOL_SVC_OVERRIDE", "127.0.0.1", 0);
+  setenv("AXON_LOOPBACK_RELAY", "1", 0);
+  setenv("TPU_WORKER_HOSTNAMES", "localhost", 0);
+  setenv("TPU_SKIP_MDS_QUERY", "1", 0);
+
+  const char* gen = getenv("PALLAS_AXON_TPU_GEN");
+  std::string topology = std::string(gen ? gen : "v5e") + ":1x1x1";
+  std::string session = mint_session_id();
+  logf("client create: topology=%s session=%s", topology.c_str(),
+       session.c_str());
+
+  std::vector<PJRT_NamedValue> opts;
+  opts.push_back(nv_str("topology", topology.c_str()));
+  opts.push_back(nv_i64("n_slices", 1));
+  opts.push_back(nv_i64("remote_compile",
+                        getenv("PALLAS_AXON_REMOTE_COMPILE") &&
+                                !std::strcmp(getenv("PALLAS_AXON_REMOTE_COMPILE"), "1")
+                            ? 1
+                            : 0));
+  opts.push_back(nv_i64("local_only", 0));
+  opts.push_back(nv_i64("priority", 0));
+  opts.push_back(nv_i64("rank", 0xFFFFFFFFLL));  // monoclient sentinel
+  opts.push_back(nv_str("session_id", session.c_str()));
+
+  PJRT_Client_Create_Args a;
+  std::memset(&a, 0, sizeof a);
+  a.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  a.create_options = opts.data();
+  a.num_options = opts.size();
+  check(g_api->PJRT_Client_Create(&a), "PJRT_Client_Create");
+  ctx.client = a.client;
+
+  PJRT_Client_AddressableDevices_Args d;
+  std::memset(&d, 0, sizeof d);
+  d.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  d.client = ctx.client;
+  check(g_api->PJRT_Client_AddressableDevices(&d),
+        "PJRT_Client_AddressableDevices");
+  if (d.num_addressable_devices == 0) die("no addressable devices");
+  ctx.device = d.addressable_devices[0];
+
+  PJRT_Client_PlatformVersion_Args pv;
+  std::memset(&pv, 0, sizeof pv);
+  pv.struct_size = PJRT_Client_PlatformVersion_Args_STRUCT_SIZE;
+  pv.client = ctx.client;
+  check(g_api->PJRT_Client_PlatformVersion(&pv), "PlatformVersion");
+  logf("client up: %zu device(s), platform %.*s", d.num_addressable_devices,
+       static_cast<int>(pv.platform_version_size), pv.platform_version);
+}
+
+void load_executable(Ctx& ctx, const std::vector<char>& blob) {
+  logf("deserializing executable (%.2f MB)", blob.size() / 1e6);
+  PJRT_Executable_DeserializeAndLoad_Args a;
+  std::memset(&a, 0, sizeof a);
+  a.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+  a.client = ctx.client;
+  a.serialized_executable = blob.data();
+  a.serialized_executable_size = blob.size();
+  check(g_api->PJRT_Executable_DeserializeAndLoad(&a),
+        "PJRT_Executable_DeserializeAndLoad");
+  ctx.exec = a.loaded_executable;
+  logf("executable loaded");
+}
+
+PJRT_Buffer* to_device(Ctx& ctx, const Npy& x) {
+  if (x.descr != "<f4") die("only <f4 inputs supported, got " + x.descr);
+  PJRT_Client_BufferFromHostBuffer_Args a;
+  std::memset(&a, 0, sizeof a);
+  a.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  a.client = ctx.client;
+  a.data = x.data.data();
+  a.type = PJRT_Buffer_Type_F32;
+  a.dims = x.shape.data();
+  a.num_dims = x.shape.size();
+  a.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  a.device = ctx.device;
+  check(g_api->PJRT_Client_BufferFromHostBuffer(&a), "BufferFromHostBuffer");
+  await_event(a.done_with_host_buffer, "host buffer transfer");
+  return a.buffer;
+}
+
+// Executes with one device and one argument; returns the output buffers.
+std::vector<PJRT_Buffer*> execute(Ctx& ctx, PJRT_Buffer* input,
+                                  size_t num_outputs) {
+  PJRT_ExecuteOptions opts;
+  std::memset(&opts, 0, sizeof opts);
+  opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  PJRT_Buffer* args_dev0[1] = {input};
+  PJRT_Buffer* const* arg_lists[1] = {args_dev0};
+  std::vector<PJRT_Buffer*> out_dev0(num_outputs, nullptr);
+  PJRT_Buffer** out_lists[1] = {out_dev0.data()};
+  PJRT_Event* done[1] = {nullptr};
+
+  PJRT_LoadedExecutable_Execute_Args a;
+  std::memset(&a, 0, sizeof a);
+  a.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  a.executable = ctx.exec;
+  a.options = &opts;
+  a.argument_lists = arg_lists;
+  a.num_devices = 1;
+  a.num_args = 1;
+  a.output_lists = out_lists;
+  a.device_complete_events = done;
+  check(g_api->PJRT_LoadedExecutable_Execute(&a), "Execute");
+  await_event(done[0], "execute completion");
+  return out_dev0;
+}
+
+size_t executable_num_outputs(Ctx& ctx) {
+  PJRT_LoadedExecutable_GetExecutable_Args g;
+  std::memset(&g, 0, sizeof g);
+  g.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  g.loaded_executable = ctx.exec;
+  check(g_api->PJRT_LoadedExecutable_GetExecutable(&g), "GetExecutable");
+  PJRT_Executable_NumOutputs_Args n;
+  std::memset(&n, 0, sizeof n);
+  n.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  n.executable = g.executable;
+  check(g_api->PJRT_Executable_NumOutputs(&n), "NumOutputs");
+  PJRT_Executable_Destroy_Args d;
+  std::memset(&d, 0, sizeof d);
+  d.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
+  d.executable = g.executable;
+  g_api->PJRT_Executable_Destroy(&d);
+  return n.num_outputs;
+}
+
+Npy from_device(PJRT_Buffer* buf) {
+  Npy out;
+  out.descr = "<f4";  // artifact contract: f32 logits
+  PJRT_Buffer_Dimensions_Args dims;
+  std::memset(&dims, 0, sizeof dims);
+  dims.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+  dims.buffer = buf;
+  check(g_api->PJRT_Buffer_Dimensions(&dims), "Buffer_Dimensions");
+  out.shape.assign(dims.dims, dims.dims + dims.num_dims);
+
+  // Fetch in the buffer's OWN layout and un-permute host-side. With
+  // host_layout=nullptr the copy uses the source buffer's layout — on TPU
+  // that is generally not row-major, and reading the raw bytes as C-order
+  // silently permutes values (measured: logits argmax agreement dropped
+  // to chance). Asking the plugin for a row-major copy does not work
+  // here: host_layout=Strides is rejected outright, and
+  // host_layout=Tiled{[r-1..0]} was observed to hang the relay fetch
+  // (>15 min while concurrent jobs progressed), so the transpose is ours.
+  PJRT_Buffer_GetMemoryLayout_Args la;
+  std::memset(&la, 0, sizeof la);
+  la.struct_size = PJRT_Buffer_GetMemoryLayout_Args_STRUCT_SIZE;
+  la.buffer = buf;
+  check(g_api->PJRT_Buffer_GetMemoryLayout(&la), "GetMemoryLayout");
+  if (la.layout.type != PJRT_Buffer_MemoryLayout_Type_Tiled)
+    die("unexpected device layout encoding");
+  std::vector<int64_t> m2m(
+      la.layout.tiled.minor_to_major,
+      la.layout.tiled.minor_to_major + la.layout.tiled.minor_to_major_size);
+
+  PJRT_Buffer_ToHostBuffer_Args a;
+  std::memset(&a, 0, sizeof a);
+  a.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  a.src = buf;
+  a.dst = nullptr;  // query size
+  check(g_api->PJRT_Buffer_ToHostBuffer(&a), "ToHostBuffer(size)");
+  std::vector<char> raw(a.dst_size);
+  a.dst = raw.data();
+  check(g_api->PJRT_Buffer_ToHostBuffer(&a), "ToHostBuffer");
+  await_event(a.event, "device->host copy");
+
+  size_t n = out.elems();
+  size_t r = out.shape.size();
+  if (raw.size() != n * 4)
+    die("fetched size " + std::to_string(raw.size()) + " != dense " +
+        std::to_string(n * 4) + " (padded/tiled host copy?)");
+
+  // Already row-major? (m2m == [r-1, ..., 0])
+  bool row_major = m2m.size() == r;
+  for (size_t i = 0; row_major && i < r; i++)
+    row_major = (m2m[i] == static_cast<int64_t>(r - 1 - i));
+  if (row_major || n <= 1 || r <= 1) {
+    out.data = std::move(raw);
+    return out;
+  }
+
+  // General n-d un-permute: the fetched bytes are dense in m2m order —
+  // the element stride of logical dim d is the product of the sizes of
+  // all dims more minor than d in the device layout.
+  std::vector<size_t> stride(r);
+  size_t acc2 = 1;
+  for (size_t i = 0; i < r; i++) {  // i=0 is the most minor physical dim
+    size_t d = static_cast<size_t>(m2m[i]);
+    stride[d] = acc2;
+    acc2 *= static_cast<size_t>(out.shape[d]);
+  }
+  out.data.resize(raw.size());
+  const float* src = reinterpret_cast<const float*>(raw.data());
+  float* dst = reinterpret_cast<float*>(out.data.data());
+  std::vector<size_t> idx(r, 0);
+  for (size_t lin = 0; lin < n; lin++) {
+    size_t off = 0;
+    for (size_t d = 0; d < r; d++) off += idx[d] * stride[d];
+    dst[lin] = src[off];
+    for (size_t d = r; d-- > 0;) {  // odometer in C-order
+      if (++idx[d] < static_cast<size_t>(out.shape[d])) break;
+      idx[d] = 0;
+    }
+  }
+  return out;
+}
+
+void destroy_buffer(PJRT_Buffer* b) {
+  PJRT_Buffer_Destroy_Args d;
+  std::memset(&d, 0, sizeof d);
+  d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  d.buffer = b;
+  g_api->PJRT_Buffer_Destroy(&d);
+}
+
+}  // namespace
+
+std::atomic<const char*> g_phase{"startup"};
+
+// The tunneled TPU backend on this box has wildly variable first-contact
+// latency (0.9 s to >340 s measured); a serving host must never stall
+// silently. The watchdog names the stuck phase and aborts with a
+// distinctive exit code once the deadline passes.
+void start_watchdog(double deadline_s) {
+  std::thread([deadline_s] {
+    while (true) {
+      std::this_thread::sleep_for(std::chrono::seconds(1));
+      if (now_s() - t0 > deadline_s) {
+        std::fprintf(stderr,
+                     "pjrt_serve: DEADLINE (%.0fs) exceeded in phase '%s'\n",
+                     deadline_s, g_phase.load());
+        std::printf("{\"error\": \"deadline\", \"phase\": \"%s\"}\n",
+                    g_phase.load());
+        std::fflush(nullptr);
+        std::_Exit(3);
+      }
+    }
+  }).detach();
+}
+
+int main(int argc, char** argv) {
+  std::string artifact, plugin = "/opt/axon/libaxon_pjrt.so";
+  std::string input_path, output_path;
+  bool selftest = false;
+  int bench = 0;
+  double tol = 1e-5;
+  double deadline = 0;
+  for (int i = 1; i < argc; i++) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      if (i + 1 >= argc) die("missing value for " + a);
+      return argv[++i];
+    };
+    if (a == "--plugin") plugin = next();
+    else if (a == "--input") input_path = next();
+    else if (a == "--output") output_path = next();
+    else if (a == "--selftest") selftest = true;
+    else if (a == "--bench") bench = std::stoi(next());
+    else if (a == "--tol") tol = std::stod(next());
+    else if (a == "--deadline") deadline = std::stod(next());
+    else if (a[0] == '-') die("unknown flag " + a);
+    else artifact = a;
+  }
+  if (deadline > 0) start_watchdog(deadline);
+  if (artifact.empty())
+    die("usage: pjrt_serve <artifact_dir> [--selftest] [--bench N] "
+        "[--input X.npy] [--output Y.npy] [--plugin SO] [--tol T]");
+
+  // Validate the artifact BEFORE any plugin/session work: a serving-box
+  // misconfiguration must fail in milliseconds, not hang on a TPU claim.
+  std::vector<char> blob = read_file(artifact + "/executable.bin");
+  Npy x = npy_read(!input_path.empty() ? input_path
+                                       : artifact + "/sample_input.npy");
+  if (x.descr != "<f4") die("only <f4 inputs supported, got " + x.descr);
+  logf("artifact ok: executable %.2f MB, input %zu elems, batch %lld",
+       blob.size() / 1e6, x.elems(),
+       static_cast<long long>(x.shape.empty() ? 0 : x.shape[0]));
+
+  logf("loading plugin %s", plugin.c_str());
+  void* dso = dlopen(plugin.c_str(), RTLD_NOW | RTLD_LOCAL);
+  if (!dso) die(std::string("dlopen: ") + dlerror());
+  auto* get_api = reinterpret_cast<const PJRT_Api* (*)()>(
+      dlsym(dso, "GetPjrtApi"));
+  if (!get_api) die("plugin lacks GetPjrtApi");
+  g_api = get_api();
+  logf("PJRT API %d.%d (header %d.%d)", g_api->pjrt_api_version.major_version,
+       g_api->pjrt_api_version.minor_version, PJRT_API_MAJOR, PJRT_API_MINOR);
+
+  PJRT_Plugin_Initialize_Args init;
+  std::memset(&init, 0, sizeof init);
+  init.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+  check(g_api->PJRT_Plugin_Initialize(&init), "PJRT_Plugin_Initialize");
+
+  Ctx ctx;
+  ctx.dso = dso;
+  g_phase = "client_create (TPU session claim)";
+  client_create(ctx);
+  g_phase = "executable deserialize";
+  load_executable(ctx, blob);
+  size_t num_outputs = executable_num_outputs(ctx);
+  logf("executable has %zu output(s)", num_outputs);
+  g_phase = "input host->device";
+  PJRT_Buffer* xbuf = to_device(ctx, x);
+
+  g_phase = "first execute + output fetch";
+  double t_exec0 = now_s();
+  std::vector<PJRT_Buffer*> outs = execute(ctx, xbuf, num_outputs);
+  logf("first execute: %.3f s (includes device warmup)", now_s() - t_exec0);
+  Npy y = from_device(outs[0]);
+  logf("first fetch done: %.3f s total", now_s() - t_exec0);
+  g_phase = "post-warmup";
+
+  int rc = 0;
+  if (selftest) {
+    Npy exp = npy_read(artifact + "/expected_logits.npy");
+    if (exp.data.size() != y.data.size()) die("selftest: output size mismatch");
+    const float* a = reinterpret_cast<const float*>(y.data.data());
+    const float* b = reinterpret_cast<const float*>(exp.data.data());
+    double maxd = 0;
+    size_t n = y.data.size() / 4, agree = 0, batch = static_cast<size_t>(y.shape[0]);
+    for (size_t i = 0; i < n; i++)
+      maxd = std::max(maxd, static_cast<double>(std::abs(a[i] - b[i])));
+    size_t ncls = n / batch;
+    for (size_t r = 0; r < batch; r++) {
+      size_t am_a = 0, am_b = 0;
+      for (size_t c = 1; c < ncls; c++) {
+        if (a[r * ncls + c] > a[r * ncls + am_a]) am_a = c;
+        if (b[r * ncls + c] > b[r * ncls + am_b]) am_b = c;
+      }
+      agree += (am_a == am_b);
+    }
+    logf("selftest: max|diff| = %.3e, argmax agreement %zu/%zu", maxd, agree,
+         batch);
+    if (maxd > tol || agree != batch) {
+      std::fprintf(stderr, "SELFTEST FAILED (tol %.1e)\n", tol);
+      rc = 2;
+    } else {
+      std::printf("SELFTEST OK max_diff=%.3e batch=%zu\n", maxd, batch);
+    }
+  }
+
+  if (bench > 0) {
+    // Steady-state per-request serving latency: input stays
+    // device-resident; each iteration is dispatch + completion await +
+    // the logits fetch to host. The fetch IS the honest sync point — on
+    // this relay the device-complete event can signal at enqueue, so an
+    // execute-only loop would time dispatch, not work.
+    std::vector<double> lat;
+    for (int i = 0; i < bench; i++) {
+      double s = now_s();
+      std::vector<PJRT_Buffer*> o = execute(ctx, xbuf, num_outputs);
+      Npy yy = from_device(o[0]);
+      lat.push_back(now_s() - s);
+      if (yy.data.size() != y.data.size()) die("bench: output size drift");
+      for (PJRT_Buffer* b : o) destroy_buffer(b);
+    }
+    std::sort(lat.begin(), lat.end());
+    double median = lat[lat.size() / 2];
+    double best = lat.front();
+    double batch = static_cast<double>(x.shape[0]);
+    logf("bench: %d execs, median %.3f s (%.0f img/s), best %.3f s (%.0f "
+         "img/s)",
+         bench, median, batch / median, best, batch / best);
+    std::printf(
+        "{\"native_serve_img_per_s_median\": %.1f, \"img_per_s_best\": %.1f, "
+        "\"median_s\": %.4f, \"best_s\": %.4f, \"batch\": %d, \"execs\": %d}\n",
+        batch / median, batch / best, median, best,
+        static_cast<int>(batch), bench);
+  }
+
+  if (!output_path.empty()) {
+    npy_write(output_path, y.descr, y.shape, y.data.data(), y.data.size());
+    logf("wrote %s", output_path.c_str());
+  }
+
+  for (PJRT_Buffer* b : outs) destroy_buffer(b);
+  destroy_buffer(xbuf);
+  PJRT_LoadedExecutable_Destroy_Args ed;
+  std::memset(&ed, 0, sizeof ed);
+  ed.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+  ed.executable = ctx.exec;
+  g_api->PJRT_LoadedExecutable_Destroy(&ed);
+  PJRT_Client_Destroy_Args cd;
+  std::memset(&cd, 0, sizeof cd);
+  cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+  cd.client = ctx.client;
+  g_api->PJRT_Client_Destroy(&cd);
+  logf("done rc=%d", rc);
+  return rc;
+}

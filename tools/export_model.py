@@ -16,6 +16,12 @@ Modes:
   run     deserialize a .nodeexport and execute it on the current backend
           against the checkpoint's own logits — the deployment smoke test
           (prints max|diff| and a throughput estimate).
+  export-compiled
+          AOT-compile logits(x) on the CURRENT backend and write a
+          ``.npexec`` artifact (PJRT serialized executable + meta +
+          sample input/expected logits) for the native C++ serving host
+          ``native/pjrt_serve`` — zero Python in the serving process.
+          Platform-specific: export on the backend that will serve.
 
 Examples:
   python tools/export_model.py export --run runs_tpu/<dir> --batch 256
@@ -100,6 +106,66 @@ def do_export(args):
                                                ("bytes", "sha256")}}))
 
 
+def do_export_compiled(args):
+    """AOT-compile the inference function on the CURRENT backend and write a
+    native serving artifact: the PJRT serialized executable + meta JSON +
+    a deterministic sample input/expected-logits pair.
+
+    The artifact is consumed by ``native/pjrt_serve`` (a C++ host runner
+    that dlopens the PJRT plugin directly — zero Python in the serving
+    process).  Serialized executables are platform- and version-specific:
+    export on the same backend that will serve (here: the axon TPU plugin).
+    reference: none — SURVEY.md §2.3 (the reference ships no native layer
+    or serving runtime; this EXCEEDS parity).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    params, cfg, extra = _load(Path(args.run), args.ckpt)
+    model = extra.get("model", "odenet")
+    side = 32 if cfg.in_channels == 3 else 28
+    shape = (args.batch, side, side, cfg.in_channels)
+    fn = _logits_fn(params, cfg, model)
+
+    t0 = time.perf_counter()
+    compiled = jax.jit(fn).lower(
+        jax.ShapeDtypeStruct(shape, jnp.float32)).compile()
+    blob = compiled.runtime_executable().serialize()
+    print(f"AOT compile+serialize: {time.perf_counter()-t0:.1f}s, "
+          f"{len(blob)/1e6:.2f} MB, backend={jax.default_backend()}")
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=shape).astype(np.float32)
+    # device_get can hand back an F-contiguous view (dlpack zero-copy);
+    # the native runner's .npy reader requires C-order.
+    logits = np.ascontiguousarray(jax.device_get(compiled(jnp.asarray(x))))
+
+    out = Path(args.out or (Path(args.run) / f"native_b{args.batch}.npexec"))
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "executable.bin").write_bytes(blob)
+    np.save(out / "sample_input.npy", np.ascontiguousarray(x))
+    np.save(out / "expected_logits.npy", logits)
+    dev = jax.devices()[0]
+    meta = {
+        "format": "pjrt-serialized-executable",
+        "platform": jax.default_backend(),
+        "platform_version": getattr(dev.client, "platform_version", ""),
+        "jax_version": jax.__version__,
+        "inputs": [{"shape": list(shape), "dtype": "float32"}],
+        "outputs": [{"shape": list(logits.shape), "dtype": "float32"}],
+        "model": model,
+        "sha256": hashlib.sha256(blob).hexdigest(),
+        "bytes": len(blob),
+        "config": {k: v for k, v in vars(cfg).items()
+                   if not k.startswith("_")},
+    }
+    (out / "meta.json").write_text(json.dumps(meta, indent=2))
+    print(f"native artifact: {out}")
+    print(json.dumps({"artifact": str(out), "bytes": len(blob),
+                      "sha256": meta["sha256"]}))
+
+
 def do_run(args):
     import jax
     import jax.numpy as jnp
@@ -147,6 +213,13 @@ def main(argv=None):
     pe.add_argument("--out", default=None)
     pe.add_argument("--cpu", action="store_true")
     pe.set_defaults(fn=do_export)
+    pc = sub.add_parser("export-compiled",
+                        help="AOT compile + serialize for native/pjrt_serve")
+    pc.add_argument("--run", required=True, help="run dir with checkpoints")
+    pc.add_argument("--ckpt", default="ckpt_best.msgpack")
+    pc.add_argument("--batch", type=int, default=256)
+    pc.add_argument("--out", default=None)
+    pc.set_defaults(fn=do_export_compiled)
     pr = sub.add_parser("run")
     pr.add_argument("--artifact", required=True)
     pr.add_argument("--run", default=None,
