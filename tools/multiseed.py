@@ -156,14 +156,19 @@ def summarize() -> None:
     if not OUT.exists():
         print("no multiseed.jsonl yet")
         return
-    groups = collections.defaultdict(list)
+    by_key = {}
     for line in OUT.read_text().splitlines():
         try:
             rec = json.loads(line)
         except json.JSONDecodeError:
             continue
-        base = rec["key"].rsplit("-seed", 1)[0]
-        groups[base].append(rec["top1"])
+        # Last write wins: concurrent runners can duplicate a cell (same
+        # seed => identical result, deterministic training), but n must
+        # count SEEDS, not lines.
+        by_key[rec["key"]] = rec["top1"]
+    groups = collections.defaultdict(list)
+    for key, top1 in by_key.items():
+        groups[key.rsplit("-seed", 1)[0]].append(top1)
     print(f"{'cell':34s} {'n':>2s} {'mean':>7s} {'std':>7s}  values")
     for base in sorted(groups):
         v = np.asarray(groups[base], float)
