@@ -12,8 +12,13 @@
 // training environment, serve the serialized executable from a slim
 // native host that speaks the PJRT C API directly.
 //
-//   pjrt_serve <artifact_dir> [--selftest] [--bench N] [--input X.npy]
-//              [--output Y.npy] [--plugin SO] [--tol T]
+//   pjrt_serve <artifact_dir> [--selftest] [--bench N] [--serve]
+//              [--input X.npy] [--output Y.npy] [--plugin SO] [--tol T]
+//              [--deadline S] [--imgs N]
+//
+// --serve enters a persistent request loop after warmup: one
+// "<in.npy> <out.npy>" pair per stdin line, "OK <out.npy> <secs>" per
+// answer — session/executable/warmup paid once across all requests.
 //
 // Artifact layout (see tools/export_model.py::do_export_compiled):
 //   executable.bin        PJRT serialized executable (platform-specific)
@@ -36,6 +41,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <iostream>
 #include <random>
 #include <string>
 #include <vector>
@@ -464,6 +470,7 @@ void destroy_buffer(PJRT_Buffer* b) {
 }  // namespace
 
 std::atomic<const char*> g_phase{"startup"};
+std::atomic<bool> g_watchdog_off{false};
 
 // The tunneled TPU backend on this box has wildly variable first-contact
 // latency (0.9 s to >340 s measured); a serving host must never stall
@@ -473,6 +480,7 @@ void start_watchdog(double deadline_s) {
   std::thread([deadline_s] {
     while (true) {
       std::this_thread::sleep_for(std::chrono::seconds(1));
+      if (g_watchdog_off.load()) return;
       if (now_s() - t0 > deadline_s) {
         std::fprintf(stderr,
                      "pjrt_serve: DEADLINE (%.0fs) exceeded in phase '%s'\n",
@@ -490,9 +498,13 @@ int main(int argc, char** argv) {
   std::string artifact, plugin = "/opt/axon/libaxon_pjrt.so";
   std::string input_path, output_path;
   bool selftest = false;
+  bool serve = false;
   int bench = 0;
   double tol = 1e-5;
   double deadline = 0;
+  long imgs = 0;  // images per request; default = input dim 0 (batch).
+                  // Chained-throughput artifacts (export-compiled --chain K)
+                  // carry (K, B, ...) inputs: pass --imgs K*B.
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -503,16 +515,19 @@ int main(int argc, char** argv) {
     else if (a == "--input") input_path = next();
     else if (a == "--output") output_path = next();
     else if (a == "--selftest") selftest = true;
+    else if (a == "--serve") serve = true;
     else if (a == "--bench") bench = std::stoi(next());
     else if (a == "--tol") tol = std::stod(next());
     else if (a == "--deadline") deadline = std::stod(next());
+    else if (a == "--imgs") imgs = std::stol(next());
     else if (a[0] == '-') die("unknown flag " + a);
     else artifact = a;
   }
   if (deadline > 0) start_watchdog(deadline);
   if (artifact.empty())
     die("usage: pjrt_serve <artifact_dir> [--selftest] [--bench N] "
-        "[--input X.npy] [--output Y.npy] [--plugin SO] [--tol T]");
+        "[--serve] [--input X.npy] [--output Y.npy] [--plugin SO] "
+        "[--tol T] [--deadline S] [--imgs N]");
 
   // Validate the artifact BEFORE any plugin/session work: a serving-box
   // misconfiguration must fail in milliseconds, not hang on a TPU claim.
@@ -605,7 +620,7 @@ int main(int argc, char** argv) {
     std::sort(lat.begin(), lat.end());
     double median = lat[lat.size() / 2];
     double best = lat.front();
-    double batch = static_cast<double>(x.shape[0]);
+    double batch = static_cast<double>(imgs > 0 ? imgs : x.shape[0]);
     logf("bench: %d execs, median %.3f s (%.0f img/s), best %.3f s (%.0f "
          "img/s)",
          bench, median, batch / median, best, batch / best);
@@ -619,6 +634,48 @@ int main(int argc, char** argv) {
   if (!output_path.empty()) {
     npy_write(output_path, y.descr, y.shape, y.data.data(), y.data.size());
     logf("wrote %s", output_path.c_str());
+  }
+
+  if (serve) {
+    // Persistent request loop: one "<input.npy> <output.npy>" pair per
+    // stdin line; answers "OK <output.npy> <seconds>" (or "ERR <msg>") on
+    // stdout per request. The session, executable, and warmup are paid
+    // once — each request is upload + execute + fetch + write.
+    // The --deadline watchdog covers STARTUP only; a server waiting for
+    // requests is not stuck.
+    g_watchdog_off = true;
+    g_phase = "serve loop";
+    logf("serve: ready (one '<in.npy> <out.npy>' pair per line)");
+    std::printf("READY\n");
+    std::fflush(stdout);
+    std::string line;
+    while (std::getline(std::cin, line)) {
+      if (line.empty() || line == "quit") break;
+      size_t sp = line.find(' ');
+      if (sp == std::string::npos) {
+        std::printf("ERR expected '<in.npy> <out.npy>'\n");
+        std::fflush(stdout);
+        continue;
+      }
+      double s = now_s();
+      Npy req = npy_read(line.substr(0, sp));
+      if (req.descr != "<f4" || req.shape != x.shape) {
+        std::printf("ERR input must be <f4 with the artifact's shape\n");
+        std::fflush(stdout);
+        continue;
+      }
+      PJRT_Buffer* rbuf = to_device(ctx, req);
+      std::vector<PJRT_Buffer*> ro = execute(ctx, rbuf, num_outputs);
+      Npy ry = from_device(ro[0]);
+      for (PJRT_Buffer* b : ro) destroy_buffer(b);
+      destroy_buffer(rbuf);
+      std::string out_path = line.substr(sp + 1);
+      npy_write(out_path, ry.descr, ry.shape, ry.data.data(),
+                ry.data.size());
+      std::printf("OK %s %.4f\n", out_path.c_str(), now_s() - s);
+      std::fflush(stdout);
+    }
+    logf("serve: loop ended");
   }
 
   for (PJRT_Buffer* b : outs) destroy_buffer(b);

@@ -47,6 +47,33 @@ def test_export_then_run_parity(tiny_run, capsys):
     assert "argmax agreement=1.0000" in out
 
 
+def test_export_compiled_artifact(tiny_run):
+    """export-compiled writes the native-host artifact; the serialized
+    executable must deserialize and execute (the C++ host's exact calls,
+    driven here through the in-process PJRT client on CPU; the hardware
+    run is probes/native_serve_probe.log)."""
+    import numpy as np
+
+    export_model.main(["export-compiled", "--run", str(tiny_run),
+                       "--batch", "4", "--chain", "2"])
+    art = tiny_run / "native_b4_c2.npexec"
+    assert (art / "executable.bin").exists()
+    meta = json.loads((art / "meta.json").read_text())
+    assert meta["inputs"][0]["shape"] == [2, 4, 28, 28, 1]
+    assert meta["chain"] == 2
+    x = np.load(art / "sample_input.npy")
+    expected = np.load(art / "expected_logits.npy")
+    assert x.flags["C_CONTIGUOUS"] and expected.flags["C_CONTIGUOUS"]
+    assert expected.shape == (2, 4, 10)
+
+    client = jax.devices()[0].client
+    exe = client.deserialize_executable(
+        (art / "executable.bin").read_bytes(), [jax.devices()[0]])
+    outs = exe.execute_sharded([jax.device_put(x, jax.devices()[0])])
+    got = np.asarray(outs.disassemble_into_single_device_arrays()[0][0])
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_export_is_code_free(tiny_run):
     """The artifact must execute through jax.export alone (the serving
     process needs no model/config code)."""

@@ -128,6 +128,19 @@ def do_export_compiled(args):
     shape = (args.batch, side, side, cfg.in_channels)
     fn = _logits_fn(params, cfg, model)
 
+    if args.chain > 1:
+        # Throughput variant: one dispatch solves `chain` batches via
+        # lax.scan (bench.py's chained protocol) so a native host can
+        # drive the chip at full rate instead of per-request latency
+        # (~33 ms relay overhead per dispatch is amortised over
+        # chain*batch images).
+        inner = fn
+        shape = (args.chain,) + shape
+
+        def fn(xs):
+            _, ys = jax.lax.scan(lambda c, x: (c, inner(x)), None, xs)
+            return ys
+
     t0 = time.perf_counter()
     compiled = jax.jit(fn).lower(
         jax.ShapeDtypeStruct(shape, jnp.float32)).compile()
@@ -141,7 +154,9 @@ def do_export_compiled(args):
     # the native runner's .npy reader requires C-order.
     logits = np.ascontiguousarray(jax.device_get(compiled(jnp.asarray(x))))
 
-    out = Path(args.out or (Path(args.run) / f"native_b{args.batch}.npexec"))
+    suffix = f"_c{args.chain}" if args.chain > 1 else ""
+    out = Path(args.out
+               or (Path(args.run) / f"native_b{args.batch}{suffix}.npexec"))
     out.mkdir(parents=True, exist_ok=True)
     (out / "executable.bin").write_bytes(blob)
     np.save(out / "sample_input.npy", np.ascontiguousarray(x))
@@ -153,6 +168,7 @@ def do_export_compiled(args):
         "platform_version": getattr(dev.client, "platform_version", ""),
         "jax_version": jax.__version__,
         "inputs": [{"shape": list(shape), "dtype": "float32"}],
+        "chain": args.chain,
         "outputs": [{"shape": list(logits.shape), "dtype": "float32"}],
         "model": model,
         "sha256": hashlib.sha256(blob).hexdigest(),
@@ -218,6 +234,9 @@ def main(argv=None):
     pc.add_argument("--run", required=True, help="run dir with checkpoints")
     pc.add_argument("--ckpt", default="ckpt_best.msgpack")
     pc.add_argument("--batch", type=int, default=256)
+    pc.add_argument("--chain", type=int, default=1,
+                    help="batches per dispatch via lax.scan (throughput "
+                         "serving: amortises per-request relay latency)")
     pc.add_argument("--out", default=None)
     pc.set_defaults(fn=do_export_compiled)
     pr = sub.add_parser("run")
