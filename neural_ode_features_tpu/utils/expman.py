@@ -20,7 +20,10 @@ __all__ = ["Experiment"]
 
 def _abbrev(key: str) -> str:
     """batch_size → batch_size (full keys: abbreviations collide — e.g.
-    adjoint/augment; the reference's expman also uses full names)."""
+    adjoint/augment; the reference's expman also uses full names).
+    Long names are safe regardless: name_from_params caps at 200 chars
+    with a collision-proof digest tail (pinned by tests/test_expman.py),
+    well under every filesystem's 255-byte filename limit."""
     return key
 
 
