@@ -58,13 +58,32 @@ def test_loss_decreases_over_steps(tiny_data):
 
 
 def test_dp_matches_single_device(tiny_data):
-    """8-way data parallel must produce the same loss sequence as 1 device
-    (same seed, same batches) — XLA's psum is exact for this reduction."""
+    """8-way data parallel must reproduce the single-device run at the
+    same seed and batches.
+
+    Tolerances are deliberately two-tier: the step-1 loss is a pure
+    forward + mean reduction whose only DP effect is f32 summation order
+    (sharded partial sums vs one flat sum), so it must agree to ~1 ulp
+    amplified through GroupNorm (1e-6 rel).  By step 2 the parameters
+    have been updated through an adjoint solve, and reduction-order noise
+    compounds through the ODE dynamics — demanding bitwise equality
+    there asserts something XLA does not promise (a previous rtol=1e-5
+    on step-2 loss passed or failed with the XLA version's reduction
+    schedule; measured drift 2.6e-5 rel).  NFE must stay exactly equal:
+    step-count control flow is integer-valued and the per-sample error
+    decisions would need an ~rtol-sized (1e-2) numeric shift to flip."""
     x, y = tiny_data
+    _, m1_first = _run_steps(_cfg(num_devices=1), x, y, n_steps=1)
+    _, m8_first = _run_steps(_cfg(num_devices=8), x, y, n_steps=1)
+    assert np.allclose(m1_first["loss"], m8_first["loss"], rtol=1e-6), (
+        m1_first, m8_first)
+    assert m1_first["nfe"] == m8_first["nfe"]
+
     _, m1 = _run_steps(_cfg(num_devices=1), x, y)
     _, m8 = _run_steps(_cfg(num_devices=8), x, y)
-    assert np.allclose(m1["loss"], m8["loss"], rtol=1e-5), (m1, m8)
-    assert np.allclose(m1["nfe"], m8["nfe"], rtol=1e-3)
+    assert np.allclose(m1["loss"], m8["loss"], rtol=3e-4), (m1, m8)
+    assert m1["nfe"] == m8["nfe"]
+    assert np.allclose(m1["nfe_b"], m8["nfe_b"], atol=1.0)
 
 
 def test_resnet_training_step(tiny_data):
