@@ -118,12 +118,18 @@ struct Npy {
   }
 };
 
-Npy npy_read(const std::string& path) {
+// Non-fatal reader: returns false with `err` set. The persistent serve
+// loop must answer ERR on a malformed request, never exit (requests can
+// arrive truncated mid-write).
+bool try_npy_read(const std::string& path, Npy& out, std::string& err) {
   std::ifstream f(path, std::ios::binary);
-  if (!f) die("cannot open " + path);
+  if (!f) { err = "cannot open " + path; return false; }
   char magic[8];
   f.read(magic, 8);
-  if (std::memcmp(magic, "\x93NUMPY", 6) != 0) die(path + ": not .npy");
+  if (!f || std::memcmp(magic, "\x93NUMPY", 6) != 0) {
+    err = path + ": not .npy";
+    return false;
+  }
   int major = magic[6];
   uint32_t hlen = 0;
   if (major == 1) {
@@ -135,24 +141,42 @@ Npy npy_read(const std::string& path) {
   }
   std::string hdr(hlen, '\0');
   f.read(hdr.data(), hlen);
+  if (!f) { err = path + ": truncated header"; return false; }
 
+  bool ok = true;
   auto find_val = [&](const std::string& key) -> std::string {
     size_t k = hdr.find("'" + key + "'");
-    if (k == std::string::npos) die(path + ": npy header missing " + key);
+    if (k == std::string::npos) {
+      err = path + ": npy header missing " + key;
+      ok = false;
+      return "";
+    }
     size_t c = hdr.find(':', k);
     return hdr.substr(c + 1);
   };
   std::string d = find_val("descr");
+  if (!ok) return false;
   size_t q1 = d.find('\'');
   size_t q2 = d.find('\'', q1 + 1);
-  Npy out;
+  if (q1 == std::string::npos || q2 == std::string::npos) {
+    err = path + ": malformed descr";
+    return false;
+  }
   out.descr = d.substr(q1 + 1, q2 - q1 - 1);
-  if (find_val("fortran_order").find("False") == std::string::npos)
-    die(path + ": fortran_order arrays unsupported");
+  if (find_val("fortran_order").find("False") == std::string::npos) {
+    if (ok) err = path + ": fortran_order arrays unsupported";
+    return false;
+  }
   std::string s = find_val("shape");
+  if (!ok) return false;
   size_t p1 = s.find('(');
   size_t p2 = s.find(')');
+  if (p1 == std::string::npos || p2 == std::string::npos || p2 < p1) {
+    err = path + ": malformed shape";
+    return false;
+  }
   std::string tup = s.substr(p1 + 1, p2 - p1 - 1);
+  out.shape.clear();
   for (size_t i = 0; i < tup.size();) {
     while (i < tup.size() && !isdigit(tup[i])) i++;
     if (i >= tup.size()) break;
@@ -161,16 +185,25 @@ Npy npy_read(const std::string& path) {
     out.shape.push_back(std::stoll(tup.substr(i, j - i)));
     i = j;
   }
+  if (out.descr.size() < 3) { err = path + ": malformed descr"; return false; }
   size_t itemsize = std::stoul(out.descr.substr(2));
   out.data.resize(out.elems() * itemsize);
   f.read(out.data.data(), static_cast<std::streamsize>(out.data.size()));
-  if (!f) die(path + ": truncated data");
+  if (!f) { err = path + ": truncated data"; return false; }
+  return true;
+}
+
+Npy npy_read(const std::string& path) {
+  Npy out;
+  std::string err;
+  if (!try_npy_read(path, out, err)) die(err);
   return out;
 }
 
-void npy_write(const std::string& path, const std::string& descr,
-               const std::vector<int64_t>& shape, const void* data,
-               size_t nbytes) {
+[[nodiscard]] bool npy_write(const std::string& path,
+                             const std::string& descr,
+                             const std::vector<int64_t>& shape,
+                             const void* data, size_t nbytes) {
   std::string shp = "(";
   for (size_t i = 0; i < shape.size(); i++)
     shp += std::to_string(shape[i]) + (shape.size() == 1 || i + 1 < shape.size() ? "," : "");
@@ -183,10 +216,13 @@ void npy_write(const std::string& path, const std::string& descr,
   hdr += '\n';
   uint16_t hlen = static_cast<uint16_t>(hdr.size());
   std::ofstream f(path, std::ios::binary);
+  if (!f) return false;
   f.write("\x93NUMPY\x01\x00", 8);
   f.write(reinterpret_cast<char*>(&hlen), 2);
   f.write(hdr.data(), static_cast<std::streamsize>(hdr.size()));
   f.write(static_cast<const char*>(data), static_cast<std::streamsize>(nbytes));
+  f.flush();
+  return f.good();
 }
 
 std::vector<char> read_file(const std::string& path) {
@@ -528,6 +564,9 @@ int main(int argc, char** argv) {
     die("usage: pjrt_serve <artifact_dir> [--selftest] [--bench N] "
         "[--serve] [--input X.npy] [--output Y.npy] [--plugin SO] "
         "[--tol T] [--deadline S] [--imgs N]");
+  if (selftest && !input_path.empty())
+    die("--selftest compares against the artifact's expected_logits for "
+        "its OWN sample_input; it cannot be combined with --input");
 
   // Validate the artifact BEFORE any plugin/session work: a serving-box
   // misconfiguration must fail in milliseconds, not hang on a TPU claim.
@@ -538,6 +577,21 @@ int main(int argc, char** argv) {
   logf("artifact ok: executable %.2f MB, input %zu elems, batch %lld",
        blob.size() / 1e6, x.elems(),
        static_cast<long long>(x.shape.empty() ? 0 : x.shape[0]));
+
+  if (imgs == 0) {
+    // Default images-per-request: dim 0 (batch), or chain*batch for a
+    // chained-throughput artifact — meta.json records "chain": K.
+    long chain = 1;
+    std::ifstream mf(artifact + "/meta.json");
+    if (mf) {
+      std::string meta((std::istreambuf_iterator<char>(mf)),
+                       std::istreambuf_iterator<char>());
+      size_t k = meta.find("\"chain\":");
+      if (k != std::string::npos) chain = std::atol(meta.c_str() + k + 8);
+    }
+    imgs = (chain > 1 && x.shape.size() >= 2) ? chain * x.shape[1]
+                                              : x.shape[0];
+  }
 
   logf("loading plugin %s", plugin.c_str());
   void* dso = dlopen(plugin.c_str(), RTLD_NOW | RTLD_LOCAL);
@@ -580,10 +634,15 @@ int main(int argc, char** argv) {
     const float* a = reinterpret_cast<const float*>(y.data.data());
     const float* b = reinterpret_cast<const float*>(exp.data.data());
     double maxd = 0;
-    size_t n = y.data.size() / 4, agree = 0, batch = static_cast<size_t>(y.shape[0]);
+    size_t n = y.data.size() / 4, agree = 0;
+    // Argmax rows are per SAMPLE: the class axis is the trailing dim (10),
+    // and every leading dim (batch; chain*batch for --chain artifacts) is
+    // a sample — using shape[0] here would flatten a chained artifact's
+    // whole (B,10) slice into one near-blind argmax.
+    size_t ncls = static_cast<size_t>(y.shape.back());
+    size_t batch = n / ncls;
     for (size_t i = 0; i < n; i++)
       maxd = std::max(maxd, static_cast<double>(std::abs(a[i] - b[i])));
-    size_t ncls = n / batch;
     for (size_t r = 0; r < batch; r++) {
       size_t am_a = 0, am_b = 0;
       for (size_t c = 1; c < ncls; c++) {
@@ -620,7 +679,7 @@ int main(int argc, char** argv) {
     std::sort(lat.begin(), lat.end());
     double median = lat[lat.size() / 2];
     double best = lat.front();
-    double batch = static_cast<double>(imgs > 0 ? imgs : x.shape[0]);
+    double batch = static_cast<double>(imgs);  // resolved above
     logf("bench: %d execs, median %.3f s (%.0f img/s), best %.3f s (%.0f "
          "img/s)",
          bench, median, batch / median, best, batch / best);
@@ -632,7 +691,9 @@ int main(int argc, char** argv) {
   }
 
   if (!output_path.empty()) {
-    npy_write(output_path, y.descr, y.shape, y.data.data(), y.data.size());
+    if (!npy_write(output_path, y.descr, y.shape, y.data.data(),
+                   y.data.size()))
+      die("failed to write " + output_path);
     logf("wrote %s", output_path.c_str());
   }
 
@@ -658,7 +719,17 @@ int main(int argc, char** argv) {
         continue;
       }
       double s = now_s();
-      Npy req = npy_read(line.substr(0, sp));
+      std::string in_path = line.substr(0, sp);
+      Npy req;
+      std::string err;
+      // A malformed/truncated/mid-write request must answer ERR, never
+      // kill the server (the TPU session it holds took seconds-to-minutes
+      // to claim).
+      if (!try_npy_read(in_path, req, err)) {
+        std::printf("ERR %s\n", err.c_str());
+        std::fflush(stdout);
+        continue;
+      }
       if (req.descr != "<f4" || req.shape != x.shape) {
         std::printf("ERR input must be <f4 with the artifact's shape\n");
         std::fflush(stdout);
@@ -670,8 +741,12 @@ int main(int argc, char** argv) {
       for (PJRT_Buffer* b : ro) destroy_buffer(b);
       destroy_buffer(rbuf);
       std::string out_path = line.substr(sp + 1);
-      npy_write(out_path, ry.descr, ry.shape, ry.data.data(),
-                ry.data.size());
+      if (!npy_write(out_path, ry.descr, ry.shape, ry.data.data(),
+                     ry.data.size())) {
+        std::printf("ERR failed to write %s\n", out_path.c_str());
+        std::fflush(stdout);
+        continue;
+      }
       std::printf("OK %s %.4f\n", out_path.c_str(), now_s() - s);
       std::fflush(stdout);
     }

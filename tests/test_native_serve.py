@@ -39,8 +39,11 @@ except Exception:  # pragma: no cover - tensorflow always in this image
 def binary():
     if TF_INC is None or not TF_INC.exists():
         pytest.skip("tensorflow include tree (PJRT header) not available")
+    # -B: force the compile — a fresh checkout can give source and a stale
+    # binary equal mtimes, and this test must prove the CURRENT source
+    # builds.
     subprocess.run(
-        ["make", f"TF_INC={TF_INC}"], cwd=NATIVE, check=True,
+        ["make", "-B", f"TF_INC={TF_INC}"], cwd=NATIVE, check=True,
         capture_output=True, text=True, timeout=300,
     )
     return NATIVE / "pjrt_serve"

@@ -122,6 +122,13 @@ def do_export_compiled(args):
     import jax.numpy as jnp
     import numpy as np
 
+    if args.cpu:
+        # CPU-pinned artifacts can't serve on the TPU (serialized
+        # executables are platform-specific) but are useful offline —
+        # inspection, the CPU round-trip test — without paying a TPU
+        # session claim.
+        jax.config.update("jax_platforms", "cpu")
+
     params, cfg, extra = _load(Path(args.run), args.ckpt)
     model = extra.get("model", "odenet")
     side = 32 if cfg.in_channels == 3 else 28
@@ -238,6 +245,8 @@ def main(argv=None):
                     help="batches per dispatch via lax.scan (throughput "
                          "serving: amortises per-request relay latency)")
     pc.add_argument("--out", default=None)
+    pc.add_argument("--cpu", action="store_true",
+                    help="pin to CPU (artifact then serves only on CPU)")
     pc.set_defaults(fn=do_export_compiled)
     pr = sub.add_parser("run")
     pr.add_argument("--artifact", required=True)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Client for the native serving host (native/pjrt_serve --serve).
+
+Spawns the C++ server on an artifact (or attaches to the protocol via
+stdin/stdout of an already-running one is not supported — the protocol is
+deliberately process-local), streams batches to it as .npy files, and
+collects logits. Demonstrates and measures the full native serving loop
+from a consumer's seat:
+
+    python tools/serve_client.py --artifact <dir>.npexec --requests 4
+
+The wire protocol (one line per request) is the simplest thing that a
+sidecar can speak from ANY language: "<in.npy> <out.npy>" -> "OK <out.npy>
+<seconds>" | "ERR <msg>". Files ride a tmpfs; for a network hop put the
+exchange dir on a shared mount.
+
+reference: none — SURVEY.md §2.3 (the reference ships no serving layer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--artifact", required=True, help=".npexec artifact dir")
+    p.add_argument("--requests", type=int, default=4)
+    p.add_argument("--binary", default=str(ROOT / "native" / "pjrt_serve"))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--startup-timeout", type=float, default=900.0,
+                   help="first TPU contact can stall minutes (axon band)")
+    args = p.parse_args(argv)
+
+    art = Path(args.artifact)
+    sample = np.load(art / "sample_input.npy")
+    expected = np.load(art / "expected_logits.npy")
+
+    proc = subprocess.Popen(
+        [args.binary, str(art), "--serve",
+         "--deadline", str(args.startup_timeout)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, bufsize=1,
+    )
+    try:
+        t0 = time.perf_counter()
+        ready = proc.stdout.readline().strip()
+        if ready != "READY":
+            print(f"server failed to start: {ready!r}", file=sys.stderr)
+            return 1
+        print(f"server READY in {time.perf_counter()-t0:.1f}s "
+              f"(includes warmup execute)")
+
+        rng = np.random.default_rng(args.seed)
+        with tempfile.TemporaryDirectory() as td:
+            lat = []
+            for i in range(args.requests):
+                # Request 0 replays the artifact's sample input so the
+                # answer is checkable bit-for-bit; the rest are fresh.
+                x = sample if i == 0 else rng.normal(
+                    size=sample.shape).astype(np.float32)
+                in_p, out_p = f"{td}/in_{i}.npy", f"{td}/out_{i}.npy"
+                np.save(in_p, x)
+                t = time.perf_counter()
+                proc.stdin.write(f"{in_p} {out_p}\n")
+                resp = proc.stdout.readline().strip()
+                lat.append(time.perf_counter() - t)
+                if not resp.startswith("OK "):
+                    print(f"request {i}: {resp}", file=sys.stderr)
+                    return 1
+                y = np.load(out_p)
+                if i == 0:
+                    d = float(np.abs(y - expected).max())
+                    print(f"request 0 parity vs expected_logits: "
+                          f"max|diff|={d:.3e}")
+                    if d != 0.0:
+                        print("PARITY MISMATCH", file=sys.stderr)
+                        return 1
+                print(f"request {i}: {resp}  (client round trip "
+                      f"{lat[-1]*1e3:.0f} ms, logits {y.shape})")
+            med = sorted(lat)[len(lat) // 2]
+            n_img = int(np.prod(sample.shape[:-3]))
+            print(f"median client-side round trip: {med*1e3:.0f} ms "
+                  f"({n_img/med:,.0f} img/s incl. file IO)")
+    finally:
+        try:
+            proc.stdin.write("quit\n")
+            proc.stdin.close()
+            proc.wait(timeout=30)
+        except Exception:
+            proc.kill()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
