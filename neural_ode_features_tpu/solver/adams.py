@@ -311,20 +311,29 @@ def adams_odeint(
             & (direction * (ts[:, None] - t[None, :]) > 0.0)
             & (direction * (ts[:, None] - t1[None, :]) <= 0.0)
         )
-        x = jnp.clip((ts[:, None] - t[None, :]) / dt[None, :], 0.0, 1.0)
-        y_int = None
-        for k in range(2, _K + 1):
-            w_x = _partial_integration_weights(s_corr, k, x)  # (B, k, T)
-            cand = y[None] + dt_col[None] * jnp.einsum(
-                "bkt,bkn->tbn", w_x, f_corr_nodes[:, :k]
-            )
-            if y_int is None:
-                y_int = cand
-            else:
-                y_int = jnp.where(
-                    (k_corr >= k)[None, :, None], cand, y_int
+
+        def _dense_write(out_buf):
+            x = jnp.clip((ts[:, None] - t[None, :]) / dt[None, :], 0.0, 1.0)
+            y_int = None
+            for k in range(2, _K + 1):
+                w_x = _partial_integration_weights(s_corr, k, x)  # (B,k,T)
+                cand = y[None] + dt_col[None] * jnp.einsum(
+                    "bkt,bkn->tbn", w_x, f_corr_nodes[:, :k]
                 )
-        out = jnp.where(covered[:, :, None], y_int, c.out)
+                if y_int is None:
+                    y_int = cand
+                else:
+                    y_int = jnp.where(
+                        (k_corr >= k)[None, :, None], cand, y_int
+                    )
+            return jnp.where(covered[:, :, None], y_int, out_buf)
+
+        # Most iterations cover no output time (rejections, and interior
+        # steps of a sparse ts grid): gate the K-1 Björck–Pereyra weight
+        # solves + (B,k,T)x(B,k,N) einsums + full (T,B,N) buffer rewrite
+        # behind one any(covered) — the same measured win as the RK path's
+        # gated dense write (runge_kutta.py). (code-review r3)
+        out = lax.cond(jnp.any(covered), _dense_write, lambda o: o, c.out)
 
         # --- masked history shift on accept ---
         acc_col = accept[:, None]

@@ -194,8 +194,20 @@ def _bwd(func, cfg, residuals, cotangents):
             "a_t": 0.0,
         }
 
+    # Honour the forward's time-argument contract in the backward too: with
+    # error_control='per_sample' the forward calls func with t of shape
+    # (B,), so a func written to that contract (e.g. ``y * t[:, None]``)
+    # must not suddenly receive a 0-d t inside jax.grad just because the
+    # augmented solve itself runs batch-global. broadcast_to is linear, so
+    # jax.vjp still returns a scalar t-cotangent (code-review r3).
+    if kw.get("error_control", "global") == "per_sample":
+        _bsz = jax.tree.leaves(y0)[0].shape[0]
+        _t_arg = lambda t_: jnp.broadcast_to(t_, (_bsz,))
+    else:
+        _t_arg = lambda t_: t_
+
     def f_closed(p, t_, y_):
-        return func(p, t_, y_)
+        return func(p, _t_arg(t_), y_)
 
     def aug_dynamics(t, aug):
         y, a_y = aug["y"], aug["a_y"]
@@ -238,7 +250,7 @@ def _bwd(func, cfg, residuals, cotangents):
 
         a_y = jax.tree.map(lambda a, g: a + g, a_y, g_i)
         # dL/dt_i from shifting the i-th observation time.
-        f_i = func(params, t_hi, y_i)
+        f_i = func(params, _t_arg(t_hi), y_i)
         g_t_i = _tree_vdot(g_i, f_i).astype(t_dtype)
         a_t = a_t - g_t_i
 
@@ -268,9 +280,15 @@ def _bwd(func, cfg, residuals, cotangents):
         interval, (a_y0, a_p0, a_t0), xs
     )
 
+    # Total backward dynamics evaluations: the augmented solves PLUS the
+    # one direct f(t_i, y_i) eval per interval used for the observation-
+    # time gradients (T-1 of them) — omitting those undercounted nfe_b
+    # versus the reference's counter semantics (code-review r3).
+    nfe_b_sum = jnp.sum(nfe_b) + jnp.asarray(n_times - 1, nfe_b.dtype)
+
     if _BACKWARD_NFE_TAP is not None:
         jax.experimental.io_callback(
-            _BACKWARD_NFE_TAP, None, jnp.sum(nfe_b), ordered=False
+            _BACKWARD_NFE_TAP, None, nfe_b_sum, ordered=False
         )
 
     a_y = jax.tree.map(lambda a, g: a + g[0], a_y, g_ys)
@@ -287,7 +305,7 @@ def _bwd(func, cfg, residuals, cotangents):
     # The sink cotangent is diagnostics, not a derivative: total backward
     # dynamics evaluations, independent of the incoming cotangent scale.
     # Deliberately NOT poisoned — it stays readable when a solve fails.
-    nfe_b_total = jnp.sum(nfe_b).astype(jnp.float32)
+    nfe_b_total = nfe_b_sum.astype(jnp.float32)
     return a_p, a_y, poison(grad_ts), nfe_b_total
 
 
@@ -328,11 +346,20 @@ def odeint_adjoint(
     backward error norm to the (y, a_y) columns — typically 20-60% fewer
     backward NFE at equal gradient quality (Kidger et al. 2020).
 
+    Time-argument contract: with ``error_control='per_sample'`` the func
+    receives ``t`` of shape ``(B,)`` in the forward AND in the backward —
+    the augmented solve itself runs batch-global, but the wrapper
+    broadcasts ``t`` so a strictly per-sample func keeps working under
+    ``jax.grad``.
+
     ``nfe_sink``: optional scalar side-channel for backward-NFE accounting
     (the reference's ``nfe`` counter read after ``.backward()``,
     train.py:~170 UNVERIFIED).  The primal output ignores it, but its
     *cotangent* under ``jax.grad`` is the total number of backward dynamics
-    evaluations (f32 count, not a calculus derivative) — backend-portable,
+    evaluations (f32 count, not a calculus derivative) — the augmented
+    solves plus the one direct ``f(t_i, y_i)`` per observation interval
+    used for time gradients, matching the reference counter, which those
+    evals also increment (adjoint.py:~70 UNVERIFIED).  Backend-portable,
     unlike the legacy :func:`set_backward_nfe_tap` io_callback hook::
 
         def loss(params, sink):
@@ -350,6 +377,24 @@ def odeint_adjoint(
 
     Returns ``(ys, SolveStats)``; the stats carry no gradient.
     """
+    # Reject invalid combinations HERE, where the caller passed them — not
+    # three frames deep inside the VJP trace (or, worse, only on the first
+    # jax.grad after a silently-working primal). (code-review r3)
+    from .fixed_grid import FIXED_GRID_METHODS
+    from .tableau import ADAPTIVE_TABLEAUS
+
+    if adjoint_seminorm and method in FIXED_GRID_METHODS:
+        raise ValueError(
+            "adjoint_seminorm controls the backward solve's adaptive error"
+            f" norm; method={method!r} is fixed-grid and has no error"
+            " control to restrict"
+        )
+    if adjoint_mode == "interpolated" and method not in ADAPTIVE_TABLEAUS:
+        raise ValueError(
+            "adjoint_mode='interpolated' needs the forward's dense solution"
+            f" (odeint_dense), which supports adaptive RK methods only —"
+            f" not {method!r}"
+        )
     cfg = _freeze(
         dict(
             rtol=rtol,

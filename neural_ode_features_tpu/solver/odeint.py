@@ -143,9 +143,7 @@ def odeint(
 
     flat_mask = None
     if error_mask is not None:
-        import jax as _jax
-
-        mask_full = _jax.tree.map(
+        mask_full = jax.tree.map(
             lambda y, m: jnp.broadcast_to(
                 jnp.asarray(m, flat0.dtype), y.shape
             ),
@@ -153,6 +151,23 @@ def odeint(
             error_mask,
         )
         flat_mask = flatten(mask_full)
+        # An all-zero mask row silently DISABLES error control (the masked
+        # error norm collapses to ~0, every step accepts, dt grows by
+        # ifactor unbounded) and the garbage trajectory still reports
+        # success=True. Catch it at trace time when the mask is concrete
+        # (the usual case: 0/1 constants). (code-review r3)
+        if not isinstance(flat_mask, jax.core.Tracer):
+            import numpy as _np
+
+            m = _np.asarray(flat_mask)
+            if not m.any(axis=-1).all():
+                raise ValueError(
+                    "error_mask masks out EVERY state component for at"
+                    " least one sample — that disables error control"
+                    " entirely (unbounded step growth) rather than"
+                    " restricting the norm; keep >=1 component unmasked"
+                    " per sample"
+                )
 
     if ts.shape[0] == 1:
         ys = flat0[None]

@@ -53,8 +53,14 @@ class ButcherTableau:
         output.  ``None`` → cubic Hermite dense output.
       order: classical order of the ``b`` weights; the step controller uses
         exponent ``-1/order``.
-      fsal: first-same-as-last — stage S's evaluation equals f(t1, y1) and is
-        reused as the next step's first stage.
+      fsal: first-same-as-last — stage S's evaluation is reused as the next
+        step's first stage.  For dopri5/tsit5/bosh3 that stage is exactly
+        f(t1, y1) (a[-1] == b).  fehlberg2 is the documented exception: its
+        last stage sits at the EMBEDDED endpoint (a[-1] == b_hat), so the
+        carried derivative and the Hermite dense-output endpoint slope are
+        f(t1, y_hat1), off from f(t1, y1) by O(local error) — matching
+        torchdiffeq's Fehlberg2 (same tableau, same reuse), which is what
+        NFE parity requires.
     """
 
     name: str

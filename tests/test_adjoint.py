@@ -248,3 +248,72 @@ def test_nfe_sink_side_channel(setup):
     # Default (no sink passed): public API unchanged, grads still flow.
     g = jax.grad(_loss_adjoint)(params, y0, ts)
     assert np.isfinite(jax.flatten_util.ravel_pytree(g)[0]).all()
+
+
+def test_adjoint_per_sample_time_contract(setup):
+    """With error_control='per_sample' the forward hands func a (B,)-shaped
+    t; the backward (which runs batch-global internally) must honour the
+    same contract — a func indexing t per-sample used to crash only under
+    jax.grad (code-review r3)."""
+    params, y0, ts = setup
+
+    def f_persample(p, t, y):
+        # Strictly per-sample contract: t MUST be (B,).
+        h = jnp.tanh(y @ p["w"] + p["b"])
+        return h * jnp.cos(p["freq"] * t)[:, None]
+
+    def loss_ps(p):
+        ys, _ = odeint_adjoint(
+            f_persample, p, y0, ts, error_control="per_sample", **TOL
+        )
+        return jnp.sum(ys**2)
+
+    def loss_global(p):
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts, **TOL)
+        return jnp.sum(ys**2)
+
+    g_ps = jax.grad(loss_ps)(params)
+    g_gl = jax.grad(loss_global)(params)
+    a = jax.flatten_util.ravel_pytree(g_ps)[0]
+    b = jax.flatten_util.ravel_pytree(g_gl)[0]
+    assert np.isfinite(np.asarray(a)).all()
+    # Same dynamics, same solve at tight tol: gradients must agree closely
+    # (per-sample vs global stepping differ only through step sequences).
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_adjoint_invalid_combos_rejected_at_call(setup):
+    """Config conflicts must raise at odeint_adjoint(), not deep inside the
+    first jax.grad trace (code-review r3)."""
+    params, y0, ts = setup
+    with pytest.raises(ValueError, match="fixed-grid"):
+        odeint_adjoint(_dynamics, params, y0, ts, method="rk4",
+                       adjoint_seminorm=True)
+    with pytest.raises(ValueError, match="adaptive RK"):
+        odeint_adjoint(_dynamics, params, y0, ts, method="adams",
+                       adjoint_mode="interpolated")
+
+
+def test_nfe_sink_counts_time_grad_evals(setup):
+    """The sink cotangent counts ALL backward dynamics evaluations,
+    including the one direct f(t_i, y_i) eval per interval for the
+    observation-time gradients (code-review r3: was undercounting by
+    T-1)."""
+    params, y0, _ = setup
+
+    def nfe_b(ts):
+        def loss(p, sink):
+            ys, _ = odeint_adjoint(_dynamics, p, y0, ts, nfe_sink=sink,
+                                   **TOL)
+            return jnp.sum(ys**2)
+
+        _, s = jax.grad(loss, argnums=(0, 1))(params, jnp.zeros(()))
+        return float(s)
+
+    # Same span, denser observation grid: each extra interval adds its
+    # direct time-grad eval on top of the (roughly similar) solve work.
+    n2 = nfe_b(jnp.asarray([0.0, 1.0]))
+    n5 = nfe_b(jnp.asarray([0.0, 0.25, 0.5, 0.75, 1.0]))
+    assert n2 == int(n2) and n5 == int(n5)
+    assert n5 >= n2 + 3  # at least the 3 extra per-interval evals

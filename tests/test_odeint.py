@@ -161,3 +161,25 @@ def test_error_estimators_calibrated_across_solvers():
     # function evaluations than dopri5 (measured here: 200 vs 224).
     assert nfe_t <= nfe_d, (nfe_t, nfe_d)
     assert nfe_t > 0.5 * nfe_d, (nfe_t, nfe_d)
+
+
+def test_all_zero_error_mask_rejected():
+    """An all-zero error_mask would silently DISABLE error control (masked
+    norm ~0 -> every step accepts -> dt grows by ifactor unbounded) while
+    still reporting success — reject it at trace time (code-review r3)."""
+    import pytest
+
+    from neural_ode_features_tpu.solver import odeint
+
+    y0 = {"a": jnp.ones((4, 3)), "b": jnp.ones((4, 2))}
+    f = lambda t, y: jax.tree.map(lambda v: -v, y)
+    ts = jnp.asarray([0.0, 1.0])
+    with pytest.raises(ValueError, match="masks out EVERY"):
+        odeint(f, y0, ts, error_mask=jax.tree.map(lambda _: 0.0, y0))
+    # A partial mask stays legal.
+    ys, stats = odeint(
+        f, y0, ts,
+        error_mask={"a": 1.0, "b": 0.0},
+        rtol=1e-6, atol=1e-8,
+    )
+    assert bool(jnp.all(stats.success))
