@@ -1,5 +1,19 @@
 """Parallelism: device meshes and sharding helpers (SURVEY.md §2.4)."""
 
-from .mesh import data_sharding, make_mesh, replicate, shard_batch
+from .mesh import (
+    data_sharding,
+    make_mesh,
+    param_shardings,
+    param_spec,
+    replicate,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_sharding",
+    "param_spec",
+    "param_shardings",
+]

@@ -1,11 +1,22 @@
-"""Device mesh + sharding helpers: data parallelism over ICI.
+"""Device mesh + sharding helpers: data + model parallelism over ICI.
 
-The reference is strictly single-device (SURVEY.md §2.4); data parallelism
-is a new, first-class capability of the TPU build: a 1-D ``data`` mesh over
-all local chips, batches sharded along it, parameters replicated.  Gradient
-all-reduce is *not* hand-written — the train step is jitted with sharding
-annotations and XLA inserts the ``psum`` over ICI (scaling-book recipe:
-pick a mesh, annotate, let the compiler place collectives).
+The reference is strictly single-device (SURVEY.md §2.4); parallelism is a
+new, first-class capability of the TPU build:
+
+* **Data parallelism** — a ``data`` mesh axis over local chips, batches
+  sharded along it, gradients all-reduced.  The all-reduce is *not*
+  hand-written: the train step is jitted with sharding annotations and XLA
+  inserts the ``psum`` over ICI (scaling-book recipe: pick a mesh,
+  annotate, let the compiler place collectives).
+* **Parameter sharding (FSDP / ZeRO-3 style)** — an optional second
+  ``model`` mesh axis over which every parameter and optimizer-state leaf
+  is sharded along its largest divisible dimension
+  (:func:`param_shardings`).  GSPMD all-gathers each weight where the
+  compute consumes it and reduce-scatters its gradient, so per-chip
+  parameter + optimizer memory drops by the ``model`` axis size with no
+  model-code changes.  (This workload's 0.22 M params don't *need* it —
+  SURVEY.md §2.4 marks TP "skip" — but the framework supports wide model
+  variants, and the mechanism is exactly how large models shard on TPU.)
 
 The same code runs on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=N``) for tests and on real chips
@@ -18,11 +29,32 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_sharding",
+    "param_spec",
+    "param_shardings",
+]
 
 
-def make_mesh(num_devices: int | None = None, *, axis: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` local devices."""
+def make_mesh(
+    num_devices: int | None = None,
+    *,
+    axis: str = "data",
+    model_size: int = 1,
+    model_axis: str = "model",
+) -> Mesh:
+    """Mesh over the first ``num_devices`` local devices.
+
+    ``model_size == 1`` (default) gives the classic 1-D data-parallel mesh.
+    ``model_size > 1`` gives a 2-D ``(data, model)`` mesh: the batch axis
+    shards over ``data`` and parameters shard over ``model`` (see
+    :func:`param_shardings`).  Adjacent device IDs land on the ``model``
+    axis, which on real slices keeps the (more frequent) parameter
+    all-gather/reduce-scatter traffic on the shortest ICI hops.
+    """
     devices = jax.devices()
     if num_devices is not None:
         if num_devices > len(devices):
@@ -30,7 +62,52 @@ def make_mesh(num_devices: int | None = None, *, axis: str = "data") -> Mesh:
                 f"requested {num_devices} devices, have {len(devices)}"
             )
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (axis,))
+    if model_size <= 1:
+        return Mesh(np.asarray(devices), (axis,))
+    if len(devices) % model_size:
+        raise ValueError(
+            f"model_size {model_size} does not divide {len(devices)} devices"
+        )
+    grid = np.asarray(devices).reshape(len(devices) // model_size, model_size)
+    return Mesh(grid, (axis, model_axis))
+
+
+def param_spec(
+    shape: tuple[int, ...], shards: int, axis: str = "model"
+) -> P:
+    """FSDP sharding rule for one parameter/optimizer leaf: shard the
+    largest dimension divisible by ``shards`` (ties → the trailing one, so
+    conv HWIO kernels shard output channels); replicate anything that has
+    no divisible dimension (scalars, odd shapes)."""
+    if shards <= 1 or not shape:
+        return P()
+    best = None
+    for d, size in enumerate(shape):
+        if size % shards == 0 and size >= shards:
+            if best is None or size >= shape[best]:
+                best = d
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def param_shardings(mesh: Mesh, tree, *, axis: str = "model"):
+    """Pytree of :class:`NamedSharding` implementing FSDP parameter
+    sharding over the mesh's ``model`` axis (replicated everywhere if the
+    mesh has no such axis).  Shape-based, so the same function shards the
+    params pytree and any params-shaped optimizer state."""
+    if axis not in mesh.axis_names or mesh.shape[axis] == 1:
+        rep = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: rep, tree)
+    shards = mesh.shape[axis]
+    return jax.tree.map(
+        lambda leaf: NamedSharding(
+            mesh, param_spec(np.shape(leaf), shards, axis)
+        ),
+        tree,
+    )
 
 
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -7,8 +7,13 @@ mount, SURVEY.md §3.1), redesigned TPU-first:
   * one compiled train step: on-device normalise→augment→solve→loss→grad→
     SGD update; raw uint8 batches stream in, nothing else crosses the host
     boundary;
-  * data parallelism by sharding the batch axis of the inputs over a 1-D
-    mesh — XLA inserts the gradient all-reduce (no hand-written collectives);
+  * data parallelism by sharding the batch axis of the inputs over the
+    mesh's 'data' axis — XLA inserts the gradient all-reduce (no
+    hand-written collectives);
+  * optional FSDP-style parameter sharding (``model_shards > 1``) over a
+    second 'model' mesh axis: params + optimizer state live sharded,
+    GSPMD all-gathers weights at use and reduce-scatters their gradients
+    (parallel/mesh.py ``param_shardings``);
   * gradients through the ODE block via the adjoint (default, O(1) memory)
     or direct backprop through a scan-unrolled solve (reference's default
     semantics; memory-hungry, mainly for tests/small runs);
@@ -36,7 +41,7 @@ from .models import (
 )
 from .models.odenet import odefunc_apply
 from .ops.preprocess import augment, normalize
-from .parallel import data_sharding, make_mesh, replicate
+from .parallel import data_sharding, make_mesh, param_shardings, replicate
 from .solver import odeint
 
 __all__ = ["TrainConfig", "Trainer"]
@@ -66,6 +71,9 @@ class TrainConfig:
     seed: int = 0
     augment: bool = True  # random crop (+flip for 3-channel data)
     num_devices: int | None = None
+    # >1 adds a 'model' mesh axis: params + optimizer state shard over it
+    # FSDP-style (parallel/mesh.py param_shardings); must divide num_devices.
+    model_shards: int = 1
     compute_dtype: str = "float32"
     max_steps: int = 1024
 
@@ -125,7 +133,9 @@ class Trainer:
     def __init__(self, train_cfg: TrainConfig, steps_per_epoch: int):
         self.cfg = train_cfg
         self.model_cfg = train_cfg.model_config()
-        self.mesh = make_mesh(train_cfg.num_devices)
+        self.mesh = make_mesh(
+            train_cfg.num_devices, model_size=train_cfg.model_shards
+        )
         self.steps_per_epoch = steps_per_epoch
 
         init_fn, self.apply_fn = _model_fns(train_cfg)
@@ -154,20 +164,28 @@ class Trainer:
         self.tx = tx
 
         rep = replicate(self.mesh)
-        self.params = jax.device_put(params, rep)
-        self.opt_state = jax.device_put(tx.init(params), rep)
+        opt_state = tx.init(params)
+        # Replicated when model_shards == 1 (the default); FSDP-sharded over
+        # the 'model' axis otherwise.  The shape-based rule shards params and
+        # the params-shaped momentum leaves identically, so SGD updates stay
+        # local; GSPMD inserts the per-use weight all-gather and the
+        # gradient reduce-scatter from these annotations alone.
+        self._psh = param_shardings(self.mesh, params)
+        self._osh = param_shardings(self.mesh, opt_state)
+        self.params = jax.device_put(params, self._psh)
+        self.opt_state = jax.device_put(opt_state, self._osh)
 
         dsh = data_sharding(self.mesh)
         self._train_step = jax.jit(
             self._train_step_impl,
-            in_shardings=(rep, rep, dsh, dsh, rep),
-            # Keep params/opt-state replicated across steps — without the
+            in_shardings=(self._psh, self._osh, dsh, dsh, rep),
+            # Pin params/opt-state shardings across steps — without the
             # constraint GSPMD may shard small (64,) leaves over 'data'.
-            out_shardings=(rep, rep, rep),
+            out_shardings=(self._psh, self._osh, rep),
             donate_argnums=(0, 1),
         )
         self._eval_step = jax.jit(
-            self._eval_step_impl, in_shardings=(rep, dsh, dsh, dsh)
+            self._eval_step_impl, in_shardings=(self._psh, dsh, dsh, dsh)
         )
 
     # -- step bodies ---------------------------------------------------------
@@ -272,8 +290,8 @@ class Trainer:
         if not hasattr(self, "_train_epoch"):
             self._train_epoch = jax.jit(
                 self._train_epoch_impl,
-                in_shardings=(rep, rep, rep, rep, rep, rep),
-                out_shardings=(rep, rep, rep),
+                in_shardings=(self._psh, self._osh, rep, rep, rep, rep),
+                out_shardings=(self._psh, self._osh, rep),
                 donate_argnums=(0, 1),
             )
             self._staged = None
@@ -342,7 +360,7 @@ class Trainer:
         if not hasattr(self, "_eval_fused"):
             self._eval_fused = jax.jit(
                 self._eval_fused_impl,
-                in_shardings=(rep, rep, rep, rep, rep),
+                in_shardings=(self._psh, rep, rep, rep, rep),
                 out_shardings=rep,
             )
             self._eval_staged = None
@@ -405,9 +423,8 @@ class Trainer:
         template = {"params": jax.device_get(self.params),
                     "opt_state": jax.device_get(self.opt_state)}
         blob = serialization.from_bytes(template, Path(path).read_bytes())
-        rep = replicate(self.mesh)
-        self.params = jax.device_put(blob["params"], rep)
-        self.opt_state = jax.device_put(blob["opt_state"], rep)
+        self.params = jax.device_put(blob["params"], self._psh)
+        self.opt_state = jax.device_put(blob["opt_state"], self._osh)
 
     # -- public API ----------------------------------------------------------
     def train_batch(self, images_u8, labels, rng):

@@ -86,6 +86,61 @@ def test_dp_matches_single_device(tiny_data):
     assert np.allclose(m1["nfe_b"], m8["nfe_b"], atol=1.0)
 
 
+def test_param_spec_rule():
+    """FSDP sharding rule (parallel/mesh.py): largest divisible dim, ties →
+    trailing (conv HWIO kernels shard output channels); no divisible dim →
+    replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from neural_ode_features_tpu.parallel import param_spec
+
+    assert param_spec((3, 3, 64, 64), 2) == P(None, None, None, "model")
+    assert param_spec((64,), 2) == P("model")
+    assert param_spec((64, 10), 4) == P("model", None)
+    assert param_spec((), 2) == P()          # scalars replicate
+    assert param_spec((3, 5), 2) == P()      # nothing divisible
+    assert param_spec((8,), 1) == P()        # no model axis
+
+
+def test_fsdp_matches_single_device(tiny_data):
+    """4×2 (data×model) FSDP-sharded training must reproduce the
+    single-device run — parameters and optimizer state live sharded over
+    the 'model' axis, GSPMD all-gathers/reduce-scatters them, and the
+    numerics tolerance story is the same two-tier one as the DP test
+    above (reduction order is not promised bitwise across shardings)."""
+    x, y = tiny_data
+    _, m1 = _run_steps(_cfg(num_devices=1), x, y)
+    tr8, m8 = _run_steps(_cfg(num_devices=8, model_shards=2), x, y)
+
+    assert tr8.mesh.shape == {"data": 4, "model": 2}
+    # Params must actually be sharded, not replicated: at least the conv
+    # kernels carry 'model' in their sharding spec.
+    sharded = [
+        leaf
+        for leaf in jax.tree.leaves(tr8.params)
+        if hasattr(leaf, "sharding")
+        and "model" in (leaf.sharding.spec or ())
+    ]
+    assert sharded, "no parameter leaf is sharded over the 'model' axis"
+
+    assert np.allclose(m1["loss"], m8["loss"], rtol=3e-4), (m1, m8)
+    assert m1["nfe"] == m8["nfe"]
+    assert np.allclose(m1["nfe_b"], m8["nfe_b"], atol=1.0)
+
+    # State save/load round-trips through the sharded placement.
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "state.msgpack")
+        tr8.save_state(p)
+        before = jax.device_get(tr8.params)
+        tr8.load_state(p)
+        after = jax.device_get(tr8.params)
+        assert all(
+            np.array_equal(a, b)
+            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        )
+
+
 def test_resnet_training_step(tiny_data):
     x, y = tiny_data
     _, m = _run_steps(_cfg(model="resnet"), x, y)

@@ -64,6 +64,10 @@ def parse_args(argv=None):
                    help="bfloat16 dynamics compute (solver control stays f32)")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--model-shards", type=int, default=1,
+                   help="FSDP parameter-sharding factor: adds a 'model' "
+                        "mesh axis of this size (must divide the device "
+                        "count); params + optimizer state shard over it")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--runs-dir", default="runs")
     p.add_argument("--limit", type=int, default=None,
@@ -126,6 +130,7 @@ def main(argv=None):
         seed=args.seed,
         augment=args.augment,
         num_devices=args.num_devices,
+        model_shards=args.model_shards,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         max_steps=args.max_steps or (1024 if args.adjoint else 64),
     )
