@@ -84,6 +84,11 @@ def parse_args(argv=None):
     p.add_argument("--run", default=None,
                    help="benchmark a trained checkpoint (run dir or .msgpack)"
                         " instead of the deterministic random init")
+    p.add_argument("--hidden", type=int, default=64,
+                   help="ODEfunc channel width (untrained protocol only; "
+                        "the CPU oracle is built at the same width). The "
+                        "reference model is 64; wider widths measure how "
+                        "MFU scales when the MXU actually has work")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 dynamics (default f32 for NFE parity)")
     p.add_argument("--pallas", action="store_true",
@@ -116,6 +121,9 @@ def parse_args(argv=None):
     args = p.parse_args(argv)
     if args.warmup is not None:
         args.repeats = args.warmup  # alias: honor the requested count
+    if args.hidden % 32 != 0 or args.hidden <= 0:
+        p.error(f"--hidden {args.hidden}: must be a positive multiple of 32"
+                " (GroupNorm groups=32 in the reference architecture)")
     return args
 
 
@@ -179,6 +187,10 @@ def _start_watchdog(deadline_s: float) -> None:
 # ---------------------------------------------------------------------------
 
 def supervise(argv) -> dict:
+    # Validate flags HERE, before spawning anything: a usage error must exit
+    # loudly with argparse's message, not surface as a salvaged partial JSON
+    # from a dead child.
+    parse_args(argv)
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "480"))
     partial_path = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"bench_partial_{os.getpid()}.json"
@@ -376,6 +388,7 @@ def inner_main(argv=None):
         else:
             cfg = ModelConfig(
                 in_channels=3,
+                hidden=args.hidden,
                 tol=args.tol,
                 method=args.method,
                 error_control="per_sample",
@@ -410,6 +423,11 @@ def inner_main(argv=None):
     baseline_note = None
     cpu_ips = cpu_ips_median = cpu_ips_spread = None
     if not args.skip_baseline:
+        # Stage marker BEFORE the host-loop oracle: a watchdog JSON stuck at
+        # 'baseline-start' means the one-CPU host is starved (oracle still
+        # running), not a tunnel stall — measured failure mode when a test
+        # suite shares the box.
+        milestone("baseline-start")
         try:
             import torch
 
@@ -427,7 +445,11 @@ def inner_main(argv=None):
                 torch.set_num_interop_threads(1)
             except RuntimeError:
                 pass  # already initialised
-            tm = build_torch_odenet(in_channels=cfg.in_channels)
+            tm = build_torch_odenet(
+                in_channels=cfg.in_channels,
+                hidden=cfg.hidden,
+                groups=cfg.groups,
+            )
             load_jax_params_into_torch(tm, params)
             tm.eval()
             xc = torch.from_numpy(
@@ -471,10 +493,10 @@ def inner_main(argv=None):
     params = jax.device_put(params)  # once — not per timing rep
 
     shape_name = "mnist" if cfg.in_channels == 1 else "cifar10"
-    suffix = ""
+    suffix = "" if cfg.hidden == 64 else f"_hidden{cfg.hidden}"
     if args.pool:
         n_batches = -(-args.pool // args.batch_size)
-        suffix = f"_pool{n_batches * args.batch_size}" + (
+        suffix += f"_pool{n_batches * args.batch_size}" + (
             "_nfesort" if args.nfe_sort else ""
         )
     milestone(

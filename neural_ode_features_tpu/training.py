@@ -426,6 +426,53 @@ class Trainer:
         self.params = jax.device_put(blob["params"], self._psh)
         self.opt_state = jax.device_put(blob["opt_state"], self._osh)
 
+    # orbax variant: sharded, no host gather (SURVEY.md §5 names
+    # orbax-checkpoint as the TPU-native preemption-resume mechanism).
+    def save_state_orbax(self, path) -> None:
+        """Write the training state as an orbax directory checkpoint.
+
+        Unlike :meth:`save_state` (which gathers everything to host and
+        serialises one msgpack blob), orbax writes each device shard as it
+        lies — on an FSDP mesh no replica ever materialises — and records
+        the sharding metadata needed to reshard on restore."""
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            Path(path).resolve(),
+            {"params": self.params, "opt_state": self.opt_state},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+    def load_state_orbax(self, path) -> None:
+        """Restore an orbax checkpoint directly onto this Trainer's
+        shardings (replicated or FSDP), resharding if the checkpoint was
+        written under a different mesh/topology."""
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        def abstract(tree, shardings):
+            return jax.tree.map(
+                lambda x, s: jax.ShapeDtypeStruct(
+                    jnp.shape(x), x.dtype, sharding=s
+                ),
+                tree,
+                shardings,
+            )
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            Path(path).resolve(),
+            {"params": abstract(self.params, self._psh),
+             "opt_state": abstract(self.opt_state, self._osh)},
+        )
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+
     # -- public API ----------------------------------------------------------
     def train_batch(self, images_u8, labels, rng):
         dsh = data_sharding(self.mesh)

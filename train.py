@@ -81,6 +81,12 @@ def parse_args(argv=None):
                    default=True,
                    help="ignore an existing train_state.msgpack in the run "
                         "dir (default: resume it, expman-style)")
+    p.add_argument("--state-format", choices=("msgpack", "orbax"),
+                   default="msgpack",
+                   help="training-state checkpoint backend: 'msgpack' "
+                        "(host-gathered single blob, the default) or "
+                        "'orbax' (sharded directory checkpoint — no host "
+                        "gather, reshards on restore)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard scalars (clu.metric_writers)"
                         " to <run_dir>/tb")
@@ -140,7 +146,7 @@ def main(argv=None):
     exp_params = {k: v for k, v in vars(args).items()
                   if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
                                "profile", "resume", "tensorboard",
-                               "max_steps")}
+                               "max_steps", "state_format")}
     exp = Experiment(args.runs_dir, exp_params).create()
     print(f"run dir: {exp.path}")
 
@@ -160,9 +166,26 @@ def main(argv=None):
 
     start_epoch = 0
     resumed_best = 0.0
-    state_path = exp.file("train_state.msgpack")
+    orbax_state = args.state_format == "orbax"
+    state_path = exp.file(
+        "train_state.orbax" if orbax_state else "train_state.msgpack"
+    )
+    other_state = exp.file(
+        "train_state.msgpack" if orbax_state else "train_state.orbax"
+    )
+    if args.resume and not state_path.exists() and other_state.exists():
+        # Refuse a cross-format resume rather than silently retraining from
+        # epoch 0 into a run dir that already has epochs logged.
+        raise SystemExit(
+            f"run dir has {other_state.name} but --state-format="
+            f"{args.state_format} expects {state_path.name}; rerun with the "
+            "matching --state-format (or --no-resume to start over)"
+        )
     if args.resume and state_path.exists():
-        trainer.load_state(state_path)
+        if orbax_state:
+            trainer.load_state_orbax(state_path)
+        else:
+            trainer.load_state(state_path)
         log_rows = exp.read_log()
         start_epoch = (int(log_rows[-1]["epoch"]) + 1) if log_rows else 0
         resumed_best = max(
@@ -258,7 +281,10 @@ def main(argv=None):
                                        "model": args.model})
         # State first, log second: a preemption between the two re-runs the
         # epoch on resume instead of silently resuming stale weights.
-        trainer.save_state(state_path)
+        if orbax_state:
+            trainer.save_state_orbax(state_path)
+        else:
+            trainer.save_state(state_path)
         exp.log(row)
         if tb_writer is not None:
             tb_writer.write_scalars(
