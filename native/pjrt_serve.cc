@@ -30,12 +30,14 @@
 // installed tensorflow package; the header is a self-contained C file).
 
 #include <dlfcn.h>
+#include <poll.h>
 #include <unistd.h>
 
 #include <algorithm>
 #include <atomic>
 #include <cstdarg>
 #include <chrono>
+#include <deque>
 #include <thread>
 #include <cstdint>
 #include <cstdio>
@@ -700,20 +702,77 @@ int main(int argc, char** argv) {
   if (serve) {
     // Persistent request loop: one "<input.npy> <output.npy>" pair per
     // stdin line; answers "OK <output.npy> <seconds>" (or "ERR <msg>") on
-    // stdout per request. The session, executable, and warmup are paid
-    // once — each request is upload + execute + fetch + write.
+    // stdout per request, in request order. The session, executable, and
+    // warmup are paid once — each request is upload + execute + fetch +
+    // write.
+    //
+    // Depth-2 pipelining: execute is asynchronous (on axon the
+    // device-complete event signals at ENQUEUE — the blocking step is the
+    // output fetch), so when the client has already queued the next
+    // request on stdin, the fetch+write of request i is deferred until
+    // request i+1 has been read, uploaded, and enqueued. The chip computes
+    // i while the host does i+1's file IO and upload. A client that waits
+    // for each answer before sending the next line sees the original
+    // sequential behaviour (nothing pending on stdin -> answer
+    // immediately); only a client that streams requests gets the overlap.
+    // Caveat (documented, accepted): pipelining is gated on raw bytes
+    // being available on stdin — a pathological client that writes HALF a
+    // line and then blocks waiting for the previous answer would deadlock;
+    // write whole lines atomically (any sane line-oriented writer does).
     // The --deadline watchdog covers STARTUP only; a server waiting for
     // requests is not stuck.
     g_watchdog_off = true;
     g_phase = "serve loop";
-    logf("serve: ready (one '<in.npy> <out.npy>' pair per line)");
+
+    struct PendingReq {
+      std::vector<PJRT_Buffer*> outs;
+      PJRT_Buffer* in;
+      std::string out_path;
+      double t0;
+    };
+    std::deque<PendingReq> pending;
+
+    auto stdin_has_bytes = [] {
+      if (std::cin.rdbuf()->in_avail() > 0) return true;
+      struct pollfd pfd;
+      pfd.fd = 0;
+      pfd.events = POLLIN;
+      pfd.revents = 0;
+      return poll(&pfd, 1, 0) > 0 &&
+             (pfd.revents & (POLLIN | POLLHUP)) != 0;
+    };
+    auto complete_oldest = [&] {
+      PendingReq p = std::move(pending.front());
+      pending.pop_front();
+      Npy ry = from_device(p.outs[0]);
+      for (PJRT_Buffer* b : p.outs) destroy_buffer(b);
+      destroy_buffer(p.in);
+      if (!npy_write(p.out_path, ry.descr, ry.shape, ry.data.data(),
+                     ry.data.size())) {
+        std::printf("ERR failed to write %s\n", p.out_path.c_str());
+      } else {
+        std::printf("OK %s %.4f\n", p.out_path.c_str(), now_s() - p.t0);
+      }
+      std::fflush(stdout);
+    };
+    auto drain_pending = [&] {
+      while (!pending.empty()) complete_oldest();
+    };
+
+    logf("serve: ready (one '<in.npy> <out.npy>' pair per line; "
+         "pipelined when requests are streamed)");
     std::printf("READY\n");
     std::fflush(stdout);
     std::string line;
-    while (std::getline(std::cin, line)) {
+    while (true) {
+      // Client idle (no queued bytes) -> it is waiting on answers: flush
+      // everything in flight before blocking on the next line.
+      if (!pending.empty() && !stdin_has_bytes()) drain_pending();
+      if (!std::getline(std::cin, line)) break;
       if (line.empty() || line == "quit") break;
       size_t sp = line.find(' ');
       if (sp == std::string::npos) {
+        drain_pending();  // answers stay in request order
         std::printf("ERR expected '<in.npy> <out.npy>'\n");
         std::fflush(stdout);
         continue;
@@ -726,30 +785,25 @@ int main(int argc, char** argv) {
       // kill the server (the TPU session it holds took seconds-to-minutes
       // to claim).
       if (!try_npy_read(in_path, req, err)) {
+        drain_pending();
         std::printf("ERR %s\n", err.c_str());
         std::fflush(stdout);
         continue;
       }
       if (req.descr != "<f4" || req.shape != x.shape) {
+        drain_pending();
         std::printf("ERR input must be <f4 with the artifact's shape\n");
         std::fflush(stdout);
         continue;
       }
       PJRT_Buffer* rbuf = to_device(ctx, req);
       std::vector<PJRT_Buffer*> ro = execute(ctx, rbuf, num_outputs);
-      Npy ry = from_device(ro[0]);
-      for (PJRT_Buffer* b : ro) destroy_buffer(b);
-      destroy_buffer(rbuf);
-      std::string out_path = line.substr(sp + 1);
-      if (!npy_write(out_path, ry.descr, ry.shape, ry.data.data(),
-                     ry.data.size())) {
-        std::printf("ERR failed to write %s\n", out_path.c_str());
-        std::fflush(stdout);
-        continue;
-      }
-      std::printf("OK %s %.4f\n", out_path.c_str(), now_s() - s);
-      std::fflush(stdout);
+      pending.push_back(
+          {std::move(ro), rbuf, line.substr(sp + 1), s});
+      // Bound in-flight depth at 2: one computing, one being staged.
+      if (pending.size() >= 2) complete_oldest();
     }
+    drain_pending();
     logf("serve: loop ended");
   }
 

@@ -149,8 +149,16 @@ def do_export_compiled(args):
             return ys
 
     t0 = time.perf_counter()
+    # Timestamped stderr progress: a stalled export (axon first-contact
+    # band is 0.9 s–340 s+) must be diagnosable from the log tail.
+    print(f"[{time.strftime('%H:%M:%S')}] lowering+compiling on "
+          f"{jax.default_backend()} (first TPU contact can stall minutes)",
+          file=sys.stderr, flush=True)
     compiled = jax.jit(fn).lower(
         jax.ShapeDtypeStruct(shape, jnp.float32)).compile()
+    print(f"[{time.strftime('%H:%M:%S')}] compiled "
+          f"({time.perf_counter()-t0:.1f}s); serializing",
+          file=sys.stderr, flush=True)
     blob = compiled.runtime_executable().serialize()
     print(f"AOT compile+serialize: {time.perf_counter()-t0:.1f}s, "
           f"{len(blob)/1e6:.2f} MB, backend={jax.default_backend()}")
@@ -257,6 +265,16 @@ def main(argv=None):
     pr.add_argument("--cpu", action="store_true")
     pr.set_defaults(fn=do_run)
     args = p.parse_args(argv)
+    import jax
+
+    # Persistent compile cache: axon first-compile can cost minutes per
+    # process; the cache is verified to work cross-process (CLAUDE.md).
+    # Must be set before the first compilation.  CPU-pinned runs skip it:
+    # their compiles are seconds, and XLA:CPU AOT cache entries are
+    # machine-feature-specific (a cross-host hit warns about SIGILL risk).
+    if not getattr(args, "cpu", False):
+        jax.config.update("jax_compilation_cache_dir",
+                          str(ROOT / ".jax_cache"))
     args.fn(args)
 
 

@@ -35,6 +35,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--artifact", required=True, help=".npexec artifact dir")
     p.add_argument("--requests", type=int, default=4)
+    p.add_argument("--pipeline", action="store_true",
+                   help="stream every request before reading answers: the "
+                        "server overlaps request i's execute/fetch with "
+                        "i+1's file read + upload (depth-2 pipelining); "
+                        "measures aggregate throughput instead of "
+                        "per-request latency")
     p.add_argument("--binary", default=str(ROOT / "native" / "pjrt_serve"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--startup-timeout", type=float, default=900.0,
@@ -60,7 +66,41 @@ def main(argv=None):
               f"(includes warmup execute)")
 
         rng = np.random.default_rng(args.seed)
+        n_img = int(np.prod(sample.shape[:-3]))
         with tempfile.TemporaryDirectory() as td:
+            if args.pipeline:
+                # Stream every request line up front (lines are ~60 bytes —
+                # far under the pipe buffer), then collect the in-order
+                # answers; the server keeps one request computing while it
+                # stages the next.
+                paths = []
+                for i in range(args.requests):
+                    x = sample if i == 0 else rng.normal(
+                        size=sample.shape).astype(np.float32)
+                    in_p, out_p = f"{td}/in_{i}.npy", f"{td}/out_{i}.npy"
+                    np.save(in_p, x)
+                    paths.append((in_p, out_p))
+                t = time.perf_counter()
+                for in_p, out_p in paths:
+                    proc.stdin.write(f"{in_p} {out_p}\n")
+                proc.stdin.flush()
+                for i in range(args.requests):
+                    resp = proc.stdout.readline().strip()
+                    if not resp.startswith("OK "):
+                        print(f"request {i}: {resp}", file=sys.stderr)
+                        return 1
+                wall = time.perf_counter() - t
+                d = float(np.abs(np.load(paths[0][1]) - expected).max())
+                print(f"request 0 parity vs expected_logits: "
+                      f"max|diff|={d:.3e}")
+                if d != 0.0:
+                    print("PARITY MISMATCH", file=sys.stderr)
+                    return 1
+                total = n_img * args.requests
+                print(f"pipelined: {args.requests} requests in {wall:.3f}s "
+                      f"-> {wall / args.requests * 1e3:.0f} ms/request, "
+                      f"{total / wall:,.0f} img/s aggregate (incl. file IO)")
+                return 0
             lat = []
             for i in range(args.requests):
                 # Request 0 replays the artifact's sample input so the
@@ -87,7 +127,6 @@ def main(argv=None):
                 print(f"request {i}: {resp}  (client round trip "
                       f"{lat[-1]*1e3:.0f} ms, logits {y.shape})")
             med = sorted(lat)[len(lat) // 2]
-            n_img = int(np.prod(sample.shape[:-3]))
             print(f"median client-side round trip: {med*1e3:.0f} ms "
                   f"({n_img/med:,.0f} img/s incl. file IO)")
     finally:
