@@ -269,10 +269,17 @@ def main(argv=None):
 
     # Persistent compile cache: axon first-compile can cost minutes per
     # process; the cache is verified to work cross-process (CLAUDE.md).
-    # Must be set before the first compilation.  CPU-pinned runs skip it:
-    # their compiles are seconds, and XLA:CPU AOT cache entries are
-    # machine-feature-specific (a cross-host hit warns about SIGILL risk).
-    if not getattr(args, "cpu", False):
+    # Must be set before the first compilation.  CPU-pinned runs skip it —
+    # whether pinned by --cpu or by the embedding process (the test suite
+    # pins via jax.config): their compiles are seconds, and XLA:CPU AOT
+    # cache entries are machine-feature-specific (a cross-host hit can
+    # fail to load, or worse, SIGILL).
+    # The primary platform decides: axon's sitecustomize defaults this to
+    # "axon,cpu" (cpu is only the fallback), while a CPU pin sets exactly
+    # "cpu".
+    platforms = str(getattr(jax.config, "jax_platforms", None) or "")
+    primary = platforms.split(",")[0].strip()
+    if not getattr(args, "cpu", False) and primary != "cpu":
         jax.config.update("jax_compilation_cache_dir",
                           str(ROOT / ".jax_cache"))
     args.fn(args)
