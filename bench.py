@@ -20,7 +20,11 @@ for ≥9 min):
   child process (``BENCH_INNER=1``).  If the child stalls past its budget it
   is killed and retried ONCE; if that fails too, the supervisor emits the
   best partial JSON recorded so far with ``"incomplete": true``.  Something
-  parseable is printed on every path.
+  parseable is printed on every path — with one deliberate exception:
+  invalid FLAGS (e.g. ``--hidden`` not a multiple of 32) exit 2 with
+  argparse's usage message and no JSON, before any attempt starts.  A
+  caller that varies flags must treat rc=2/no-JSON as "fix the invocation",
+  not as a salvageable run.
 * **Deadline.** ``BENCH_DEADLINE_S`` (default 480 s) bounds the whole run;
   the child also runs an internal watchdog thread that dumps partial JSON
   and exits just before its own budget expires (belt and braces — works
@@ -289,9 +293,9 @@ def supervise(argv) -> dict:
     # attempt overwrites), else the skeleton.  A measured value always
     # beats a value-less record; between two measured records the later
     # milestone wins.
-    stage_rank = {"start": 0, "import-jax": 1, "baseline-done": 2,
-                  "null-dispatch": 3, "compiled": 4, "first-timing": 5,
-                  "timed": 6, "done": 7}
+    stage_rank = {"start": 0, "import-jax": 1, "baseline-start": 2,
+                  "baseline-done": 3, "model-ready": 4, "null-dispatch": 5,
+                  "compiled": 6, "first-timing": 7, "timed": 8, "done": 9}
 
     def _score(rec):
         if rec is None:
@@ -418,6 +422,28 @@ def inner_main(argv=None):
         log("NOTE: --fused-rk requested but the model gate falls back to "
             "the jnp path for this config (method/dtype/shape)")
 
+    # Same effective-state reporting for --pallas: the per-ODEfunc kernel
+    # gate (models/odenet.py) silently falls back to jnp for bf16 or
+    # unsupported shapes (e.g. --hidden > 512 fails pallas_supported).
+    from neural_ode_features_tpu.kernels.odefunc_pallas import (
+        pallas_supported,
+    )
+
+    pallas_active = bool(
+        args.pallas
+        and cfg.compute_dtype == "float32"
+        and pallas_supported(
+            jax.ShapeDtypeStruct(
+                (args.batch_size, hidden_side, hidden_side, cfg.hidden),
+                jnp.float32,
+            ),
+            cfg.groups,
+        )
+    )
+    if args.pallas and not pallas_active:
+        log("NOTE: --pallas requested but the kernel gate falls back to "
+            "the jnp path for this config (dtype/width/VMEM budget)")
+
     # --- CPU-oracle denominator FIRST (no TPU dependency) ------------------
     vs_baseline = None
     baseline_note = None
@@ -506,8 +532,8 @@ def inner_main(argv=None):
         batch_size=args.batch_size,
         backend=jax.default_backend(),
         compute_dtype=cfg.compute_dtype,
-        pallas=args.pallas,
-        fused_rk=args.fused_rk,
+        pallas=pallas_active,
+        fused_rk=fused_rk_active,
         method=args.method,
     )
 
@@ -698,7 +724,7 @@ def inner_main(argv=None):
         "batch_size": args.batch_size,
         "backend": jax.default_backend(),
         "compute_dtype": cfg.compute_dtype,
-        "pallas": args.pallas,
+        "pallas": pallas_active,
         "fused_rk": fused_rk_active,
         "method": args.method,
         "tflops": round(achieved / 1e12, 3),

@@ -428,6 +428,54 @@ class Trainer:
 
     # orbax variant: sharded, no host gather (SURVEY.md §5 names
     # orbax-checkpoint as the TPU-native preemption-resume mechanism).
+    #
+    # Crash-safety protocol (a preemption is the whole reason this exists,
+    # so the save must never leave zero restorable states): orbax's own
+    # save of a FRESH directory is atomic (internal tmp dir, renamed at
+    # commit), but `force=True` deletes the PREVIOUS checkpoint before the
+    # new one commits.  Instead: save to `<path>.new`, rotate the old
+    # checkpoint to `<path>.old`, rename `.new` into place, drop `.old`.
+    # Every crash window leaves a committed state under one of the three
+    # names; `orbax_state_recover` (run by load and by the existence check)
+    # promotes it back to `<path>`.
+    @staticmethod
+    def orbax_state_recover(path) -> bool:
+        """Repair an interrupted save rotation; return whether a restorable
+        checkpoint exists at ``path`` afterwards."""
+        import shutil
+        from pathlib import Path
+
+        path = Path(path).resolve()
+        new = path.with_name(path.name + ".new")
+        old = path.with_name(path.name + ".old")
+        if path.exists():  # rotation finished (or never started): clean up
+            if new.exists():
+                shutil.rmtree(new)
+            if old.exists():
+                shutil.rmtree(old)
+            return True
+        # Crash mid-rotation.  A `.new` that exists under its final name
+        # was committed by orbax (its internal tmp name is different) AND
+        # fully written (save_state_orbax waits before rotating) — prefer
+        # it over `.old`.
+        for cand in (new, old):
+            if cand.exists():
+                cand.rename(path)
+                if cand is new and old.exists():
+                    shutil.rmtree(old)
+                return True
+        return False
+
+    def _orbax_checkpointer(self):
+        import orbax.checkpoint as ocp
+
+        if getattr(self, "_orbax_ckptr", None) is None:
+            # One per Trainer: each StandardCheckpointer spins up async
+            # machinery that is never explicitly closed — don't make one
+            # per epoch.
+            self._orbax_ckptr = ocp.StandardCheckpointer()
+        return self._orbax_ckptr
+
     def save_state_orbax(self, path) -> None:
         """Write the training state as an orbax directory checkpoint.
 
@@ -435,25 +483,29 @@ class Trainer:
         serialises one msgpack blob), orbax writes each device shard as it
         lies — on an FSDP mesh no replica ever materialises — and records
         the sharding metadata needed to reshard on restore."""
+        import shutil
         from pathlib import Path
 
-        import orbax.checkpoint as ocp
+        path = Path(path).resolve()
+        self.orbax_state_recover(path)  # clear any stale .new/.old first
+        new = path.with_name(path.name + ".new")
+        old = path.with_name(path.name + ".old")
 
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            Path(path).resolve(),
-            {"params": self.params, "opt_state": self.opt_state},
-            force=True,
-        )
+        ckptr = self._orbax_checkpointer()
+        ckptr.save(new, {"params": self.params,
+                         "opt_state": self.opt_state})
         ckptr.wait_until_finished()
+        if path.exists():
+            path.rename(old)
+        new.rename(path)
+        if old.exists():
+            shutil.rmtree(old)
 
     def load_state_orbax(self, path) -> None:
         """Restore an orbax checkpoint directly onto this Trainer's
         shardings (replicated or FSDP), resharding if the checkpoint was
         written under a different mesh/topology."""
         from pathlib import Path
-
-        import orbax.checkpoint as ocp
 
         def abstract(tree, shardings):
             return jax.tree.map(
@@ -464,9 +516,11 @@ class Trainer:
                 shardings,
             )
 
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            Path(path).resolve(),
+        path = Path(path).resolve()
+        if not self.orbax_state_recover(path):
+            raise FileNotFoundError(f"no orbax checkpoint at {path}")
+        restored = self._orbax_checkpointer().restore(
+            path,
             {"params": abstract(self.params, self._psh),
              "opt_state": abstract(self.opt_state, self._osh)},
         )

@@ -173,6 +173,12 @@ def main(argv=None):
     other_state = exp.file(
         "train_state.msgpack" if orbax_state else "train_state.orbax"
     )
+    if args.resume:
+        # Promote a checkpoint left under .new/.old by a save interrupted
+        # mid-rotation (preemption) back to its canonical name, so the
+        # exists() checks below see it.
+        Trainer.orbax_state_recover(state_path if orbax_state
+                                    else other_state)
     if args.resume and not state_path.exists() and other_state.exists():
         # Refuse a cross-format resume rather than silently retraining from
         # epoch 0 into a run dir that already has epochs logged.
