@@ -1,13 +1,26 @@
 """Training engine + parallelism tests (SURVEY.md §4 item 6: 8-way virtual
 mesh vs single device must give identical results at the same seed)."""
 
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+if __name__ == "__main__":
+    # Executed as a script (the subprocess-isolated FSDP check): conftest
+    # never ran, so replicate its environment before any device use — the
+    # CPU pin must precede the first backend touch, x64 matches the
+    # in-suite numerics, and XLA_FLAGS (8 virtual devices) was set by the
+    # spawning test via env.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 from neural_ode_features_tpu.data import Batches, load_dataset
 from neural_ode_features_tpu.training import TrainConfig, Trainer
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
 def _cfg(**kw):
@@ -102,13 +115,14 @@ def test_param_spec_rule():
     assert param_spec((8,), 1) == P()        # no model axis
 
 
-def test_fsdp_matches_single_device(tiny_data):
+def _fsdp_check_body():
     """4×2 (data×model) FSDP-sharded training must reproduce the
     single-device run — parameters and optimizer state live sharded over
     the 'model' axis, GSPMD all-gathers/reduce-scatters them, and the
     numerics tolerance story is the same two-tier one as the DP test
     above (reduction order is not promised bitwise across shardings)."""
-    x, y = tiny_data
+    x, y = load_dataset("synthetic-mnist", "train", limit=64)
+    y = y.astype(np.int32)
     _, m1 = _run_steps(_cfg(num_devices=1), x, y)
     tr8, m8 = _run_steps(_cfg(num_devices=8, model_shards=2), x, y)
 
@@ -128,7 +142,8 @@ def test_fsdp_matches_single_device(tiny_data):
     assert np.allclose(m1["nfe_b"], m8["nfe_b"], atol=1.0)
 
     # State save/load round-trips through the sharded placement.
-    import tempfile, os
+    import os
+    import tempfile
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "state.msgpack")
         tr8.save_state(p)
@@ -139,6 +154,37 @@ def test_fsdp_matches_single_device(tiny_data):
             np.array_equal(a, b)
             for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
         )
+    print("FSDP-CHECK-OK")
+
+
+def test_fsdp_matches_single_device():
+    """Runs _fsdp_check_body in a FRESH interpreter (the __main__ guard
+    below).  In-process, XLA:CPU segfaults compiling the 4×2-mesh adjoint
+    train step once ~170 earlier tests have compiled into the same
+    process (reproduced twice at tests/test_training.py::<this test>,
+    `Fatal Python error: Segmentation fault` inside
+    backend_compile_and_load); the identical compile succeeds in a bare
+    process — including the driver's dryrun_multichip, which runs this
+    mesh shape on every round.  Subprocess isolation removes the
+    process-history coupling rather than papering over a real bug of
+    OURS: the crash is inside XLA's native compiler, not framework code."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(ROOT)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--fsdp-check"],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-2000:])
+    assert "FSDP-CHECK-OK" in p.stdout
 
 
 def test_orbax_state_roundtrip_and_reshard(tmp_path):
@@ -353,3 +399,12 @@ def test_fused_epoch_reports_backward_nfe(tiny_data):
     em = trainer.train_epoch(x, y, epoch=0)
     assert em["nfe_b"].shape == em["loss"].shape
     assert float(np.min(em["nfe_b"])) > 0
+
+
+if __name__ == "__main__":
+    # Entry point for the subprocess-isolated FSDP check (see
+    # test_fsdp_matches_single_device).
+    import sys
+
+    assert sys.argv[1:] == ["--fsdp-check"], sys.argv
+    _fsdp_check_body()
