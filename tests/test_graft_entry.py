@@ -74,13 +74,14 @@ def test_dryrun_multichip_bare_process():
     # adjoint train step on this 1-CPU box gets SIGKILLed when a concurrent
     # TPU bench shares the host (VERDICT r2 weak #5 — passes solo in ~53 s).
     # A genuine failure (rc>0, e.g. an exception in dryrun_multichip) is
-    # NOT retried.
+    # NOT retried.  The 1500 s budget covers xdist workers + a concurrent
+    # bench all timesharing the one core (measured >600 s under -n 4).
     for attempt in (1, 2):
         proc = subprocess.run(
             [sys.executable, "-c",
              "import __graft_entry__ as g; g.dryrun_multichip(8)"],
             cwd=str(Path(__file__).resolve().parent.parent),
-            env=env, capture_output=True, text=True, timeout=600,
+            env=env, capture_output=True, text=True, timeout=1500,
         )
         if proc.returncode >= 0 or attempt == 2:
             break
