@@ -5,6 +5,8 @@ from .mesh import (
     make_mesh,
     param_shardings,
     param_spec,
+    population_sharding,
+    population_shardings,
     replicate,
     shard_batch,
 )
@@ -16,4 +18,6 @@ __all__ = [
     "data_sharding",
     "param_spec",
     "param_shardings",
+    "population_sharding",
+    "population_shardings",
 ]

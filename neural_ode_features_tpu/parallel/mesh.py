@@ -36,6 +36,8 @@ __all__ = [
     "data_sharding",
     "param_spec",
     "param_shardings",
+    "population_sharding",
+    "population_shardings",
 ]
 
 
@@ -108,6 +110,32 @@ def param_shardings(mesh: Mesh, tree, *, axis: str = "model"):
         ),
         tree,
     )
+
+
+def population_sharding(
+    mesh: Mesh, population: int, *, axis: str = "data"
+) -> NamedSharding:
+    """Sharding for ONE leaf whose leading axis is a population (seed)
+    axis: shard it over the mesh's ``data`` axis when the size divides,
+    replicate otherwise (still correct — every member just runs on every
+    device)."""
+    if axis in mesh.axis_names and population % mesh.shape[axis] == 0:
+        return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P())
+
+
+def population_shardings(
+    mesh: Mesh, tree, population: int, *, axis: str = "data"
+):
+    """Shardings for a *population* pytree: every leaf carries a leading
+    seed/member axis of size ``population`` (see ``multi.PopulationTrainer``).
+
+    The population axis shards over the mesh's ``data`` axis when it
+    divides — each device then trains ``population / data`` complete,
+    independent models with ZERO inter-chip communication (the
+    embarrassingly-parallel mapping; gradients never cross members)."""
+    sh = population_sharding(mesh, population, axis=axis)
+    return jax.tree.map(lambda _: sh, tree)
 
 
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

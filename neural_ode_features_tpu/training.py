@@ -261,15 +261,23 @@ class Trainer:
     # host only ships the dataset once and fetches per-step metrics once per
     # epoch.  (The reference pays a DataLoader + kernel-launch round trip per
     # batch; on this machine's tunneled TPU a dispatch alone costs ~0.6 s.)
-    def _train_epoch_impl(self, params, opt_state, images, labels, perm, rng):
-        dsh = data_sharding(self.mesh)
+    def _train_epoch_impl(self, params, opt_state, images, labels, perm, rng,
+                          constrain: bool = True):
+        # ``constrain=False`` drops the batch-axis sharding hints: the
+        # population trainer (multi.py) vmaps this body over a seed axis and
+        # parallelises over THAT axis instead (the hints would otherwise
+        # apply to vmap-batched intermediates whose leading axis is seeds,
+        # not batch).
+        dsh = data_sharding(self.mesh) if constrain else None
+        _c = (jax.lax.with_sharding_constraint if constrain
+              else (lambda x, _: x))
 
         def step(carry, xs):
             params, opt_state, rng = carry
             idx = xs
             rng, sub = jax.random.split(rng)
-            img = jax.lax.with_sharding_constraint(images[idx], dsh)
-            lab = jax.lax.with_sharding_constraint(labels[idx], dsh)
+            img = _c(images[idx], dsh)
+            lab = _c(labels[idx], dsh)
             x = self._preprocess(img, sub, train=True)
             loss, logits, nfe, grads, nfe_b = self._grads(params, x, lab)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -324,15 +332,17 @@ class Trainer:
         return jax.device_get(metrics)
 
     # -- fused eval: whole test set in one dispatch ---------------------------
-    def _eval_fused_impl(self, params, images, labels, valid, idx):
-        dsh = data_sharding(self.mesh)
+    def _eval_fused_impl(self, params, images, labels, valid, idx,
+                         constrain: bool = True):
+        # See _train_epoch_impl on ``constrain``.
+        dsh = data_sharding(self.mesh) if constrain else None
+        _c = (jax.lax.with_sharding_constraint if constrain
+              else (lambda x, _: x))
 
         def step(carry, batch_idx):
-            img = jax.lax.with_sharding_constraint(images[batch_idx], dsh)
-            lab = jax.lax.with_sharding_constraint(labels[batch_idx], dsh)
-            v = jax.lax.with_sharding_constraint(
-                valid[batch_idx], dsh
-            ).astype(jnp.float32)
+            img = _c(images[batch_idx], dsh)
+            lab = _c(labels[batch_idx], dsh)
+            v = _c(valid[batch_idx], dsh).astype(jnp.float32)
             x = self._preprocess(img, None, train=False)
             cfg = self.model_cfg
             if self.cfg.model == "odenet":

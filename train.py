@@ -53,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--lr-decay-epochs", default="60,100,140")
     p.add_argument("--lr-decay-gamma", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", default=None, metavar="S0,S1,...",
+                   help="population training: vmap the fused train step "
+                        "over ALL these seeds — one dispatch per epoch "
+                        "trains every seed; one run dir per seed, each "
+                        "solo-compatible (resume/eval/extract). The seed "
+                        "axis shards over the mesh's data axis when it "
+                        "divides the device count (zero collectives).")
     p.add_argument("--no-augment", dest="augment", action="store_false",
                    default=True)
     p.add_argument("--max-steps", type=int, default=None,
@@ -143,10 +150,14 @@ def main(argv=None):
 
     # Execution knobs are excluded from the run identity (expman contract:
     # identical *hyperparameters* resume the same directory).
+    # "seeds" is excluded so solo run identities predate the flag; the
+    # population path overrides "seed" per member instead.
     exp_params = {k: v for k, v in vars(args).items()
                   if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
                                "profile", "resume", "tensorboard",
-                               "max_steps", "state_format")}
+                               "max_steps", "state_format", "seeds")}
+    if args.seeds is not None:
+        return main_population(args, cfg, exp_params)
     exp = Experiment(args.runs_dir, exp_params).create()
     print(f"run dir: {exp.path}")
 
@@ -308,6 +319,139 @@ def main(argv=None):
                            "train": exp_params, "model": args.model})
     print(f"best test acc: {best_acc:.4f}; run dir: {exp.path}")
     return exp.path
+
+
+def main_population(args, cfg, exp_params):
+    """--seeds path: one vmapped population run, one run dir per seed.
+
+    Each member's run dir is identical to what a solo ``--seed S`` run
+    would create (same expman identity, log.csv schema, checkpoint and
+    train-state formats), so every downstream tool — resume, eval_ckpt,
+    extract, the multiseed summariser — works on population-trained runs
+    unchanged.
+    """
+    import jax
+
+    from neural_ode_features_tpu.data import Batches, load_dataset
+    from neural_ode_features_tpu.multi import PopulationTrainer
+    from neural_ode_features_tpu.utils import (
+        Experiment,
+        RunningAverageMeter,
+        save_checkpoint,
+    )
+
+    if args.profile:
+        raise SystemExit("--profile is per-run; use a solo --seed run")
+    if args.tensorboard:
+        raise SystemExit("--tensorboard is per-run; use a solo --seed run")
+    if args.state_format != "msgpack":
+        raise SystemExit("population training saves per-seed msgpack states")
+    seeds = [int(s) for s in args.seeds.split(",") if s]
+    if len(set(seeds)) != len(seeds):
+        raise SystemExit(f"duplicate seeds in --seeds {args.seeds}")
+
+    exps = []
+    for s in seeds:
+        exp = Experiment(args.runs_dir, {**exp_params, "seed": s}).create()
+        exps.append(exp)
+        print(f"run dir (seed {s}): {exp.path}")
+
+    x_train, y_train = load_dataset(args.dataset, "train", args.data_dir,
+                                    limit=args.limit)
+    x_test, y_test = load_dataset(args.dataset, "test", args.data_dir,
+                                  limit=args.limit)
+    steps_per_epoch = len(Batches(x_train, y_train, args.batch_size))
+    print(f"train {len(x_train)} / test {len(x_test)} images; "
+          f"{steps_per_epoch} steps/epoch; devices: {jax.device_count()}; "
+          f"population: {len(seeds)} seeds")
+
+    pop = PopulationTrainer(cfg, seeds, steps_per_epoch)
+
+    # Resume only when every member left a state at the same epoch — a
+    # mixed population would silently train members different step counts.
+    state_paths = [exp.file("train_state.msgpack") for exp in exps]
+    start_epoch = 0
+    best = [0.0] * len(seeds)
+    if args.resume and any(p.exists() for p in state_paths):
+        if not all(p.exists() for p in state_paths):
+            raise SystemExit(
+                "partial population state: some run dirs have "
+                "train_state.msgpack and some don't — finish the stragglers "
+                "with solo --seed runs or pass --no-resume"
+            )
+        starts, bests = [], []
+        for exp in exps:
+            rows = exp.read_log()
+            starts.append((int(rows[-1]["epoch"]) + 1) if rows else 0)
+            bests.append(max(
+                (float(r["test_acc"]) for r in rows if r.get("test_acc")),
+                default=0.0,
+            ))
+        if len(set(starts)) != 1:
+            raise SystemExit(
+                f"population members resume at different epochs {starts}; "
+                "finish them solo or --no-resume"
+            )
+        start_epoch, best = starts[0], bests
+        pop.load_states(state_paths)
+        print(f"resumed population at epoch {start_epoch}")
+
+    loss_m = [RunningAverageMeter() for _ in seeds]
+    nfe_m = [RunningAverageMeter() for _ in seeds]
+    nfe_b_m = [RunningAverageMeter() for _ in seeds]
+    import numpy as _np
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        em = pop.train_epoch(x_train, y_train, epoch)
+        train_time = time.time() - t0
+        do_eval = (epoch + 1) % args.eval_every == 0 or (
+            epoch == args.epochs - 1
+        )
+        evs = pop.evaluate_fused(x_test, y_test) if do_eval else None
+        for i, (s, exp) in enumerate(zip(seeds, exps)):
+            nfe_b_m[i].reset()
+            for j in range(em["loss"].shape[1]):
+                loss_m[i].update(float(em["loss"][i, j]))
+                nfe_m[i].update(float(em["nfe"][i, j]))
+                nfe_b_m[i].update(float(em["nfe_b"][i, j]))
+            row = {
+                "epoch": epoch,
+                "train_loss": round(loss_m[i].avg, 6),
+                "train_acc": round(float(_np.mean(em["acc"][i])), 6),
+                "nfe_f": round(nfe_m[i].avg, 2),
+                "nfe_b": round(nfe_b_m[i].avg, 2),
+                "time_s": round(train_time, 2),
+                "test_loss": "",
+                "test_acc": "",
+                "test_nfe": "",
+            }
+            if evs is not None:
+                ev = evs[i]
+                row.update(test_loss=round(ev["loss"], 6),
+                           test_acc=round(ev["acc"], 6),
+                           test_nfe=round(ev["nfe"], 2))
+                if ev["acc"] >= best[i]:
+                    best[i] = ev["acc"]
+                    save_checkpoint(
+                        exp.file("ckpt_best.msgpack"), pop.params_for(i),
+                        pop.model_cfg,
+                        extra={"epoch": epoch, "test_acc": ev["acc"],
+                               "train": {**exp_params, "seed": s},
+                               "model": args.model})
+            pop.save_state_for(i, exp.file("train_state.msgpack"))
+            exp.log(row)
+            print(f"seed {s} | " + " | ".join(f"{k}={v}"
+                                              for k, v in row.items()),
+                  flush=True)
+    for i, (s, exp) in enumerate(zip(seeds, exps)):
+        save_checkpoint(exp.file("ckpt_last.msgpack"), pop.params_for(i),
+                        pop.model_cfg,
+                        extra={"epoch": args.epochs - 1, "test_acc": best[i],
+                               "train": {**exp_params, "seed": s},
+                               "model": args.model})
+        print(f"seed {s}: best test acc {best[i]:.4f}; run dir: {exp.path}")
+    return [exp.path for exp in exps]
 
 
 if __name__ == "__main__":
