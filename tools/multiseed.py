@@ -86,36 +86,88 @@ def _run_train(args_list: list[str], runs_dir: Path) -> Path:
     return dirs[-1]
 
 
+def _run_train_population(
+    args_list: list[str], seeds: list[int], runs_dir: Path
+) -> dict[int, Path]:
+    """Run ONE ``train.py --seeds`` population process covering every seed
+    (multi.PopulationTrainer: one vmapped dispatch per epoch trains all of
+    them).  Returns {seed: run_dir} parsed from the per-seed banner lines.
+
+    Per-seed values match solo runs up to XLA reduction-order noise (see
+    multi.py docstring), so population cells and solo cells are the same
+    campaign cell statistically — mean±std reporting is unaffected.
+    """
+    cmd = [sys.executable, str(ROOT / "train.py"), *args_list,
+           "--seeds", ",".join(str(s) for s in seeds),
+           "--runs-dir", str(runs_dir)]
+    proc = subprocess.run(cmd, cwd=str(ROOT), capture_output=True, text=True,
+                          timeout=5400, start_new_session=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"population train failed rc={proc.returncode}:\n"
+            f"{proc.stdout[-1000:]}\n{proc.stderr[-1000:]}")
+    dirs: dict[int, Path] = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("run dir (seed "):
+            head, path = line.split("):", 1)
+            dirs[int(head.removeprefix("run dir (seed "))] = (
+                Path(path.strip()))
+    missing = [s for s in seeds if s not in dirs]
+    if missing:
+        raise RuntimeError(
+            f"population run dirs missing for seeds {missing}:\n"
+            f"{proc.stdout[-2000:]}")
+    return dirs
+
+
+FLAGSHIP_ARGS = ["--dataset", "synthetic-cifar10", "--epochs", "24",
+                 "--lr-decay-epochs", "12,18,22", "--tol", "1e-3"]
+
+
 def flagship(seed: int, runs_dir: Path) -> Path:
     key = f"flagship-seed{seed}"
-    run_dir = _run_train([
-        "--dataset", "synthetic-cifar10", "--epochs", "24",
-        "--lr-decay-epochs", "12,18,22", "--tol", "1e-3",
-        "--seed", str(seed),
-    ], runs_dir)
+    run_dir = _run_train([*FLAGSHIP_ARGS, "--seed", str(seed)], runs_dir)
     _emit({"key": key, "top1": _best_top1(run_dir),
            "run_dir": str(run_dir)})
     return run_dir
 
 
+def flagship_population(seeds: list[int], runs_dir: Path) -> dict[int, Path]:
+    dirs = _run_train_population(FLAGSHIP_ARGS, seeds, runs_dir)
+    for seed, run_dir in dirs.items():
+        _emit({"key": f"flagship-seed{seed}", "top1": _best_top1(run_dir),
+               "run_dir": str(run_dir), "population": True})
+    return dirs
+
+
+def _adjsweep_args(mode: str) -> list[str]:
+    base = ["--dataset", "synthetic-mnist", "--epochs", "8",
+            "--limit", "16384", "--lr-decay-epochs", "5,7", "--tol", "1e-3"]
+    extra = {
+        "reintegrate": [],
+        "interpolated": ["--adjoint-mode", "interpolated"],
+        "seminorm": ["--adjoint-seminorm"],
+        "backprop": ["--no-adjoint"],
+    }[mode]
+    return base + extra
+
+
 def adjsweep(seed: int, mode: str, runs_dir: Path) -> None:
     key = f"adjsweep-{mode}-seed{seed}"
-    base = ["--dataset", "synthetic-mnist", "--epochs", "8",
-            "--limit", "16384", "--lr-decay-epochs", "5,7",
-            "--tol", "1e-3", "--seed", str(seed)]
-    if mode == "reintegrate":
-        extra = []
-    elif mode == "interpolated":
-        extra = ["--adjoint-mode", "interpolated"]
-    elif mode == "seminorm":
-        extra = ["--adjoint-seminorm"]
-    elif mode == "backprop":
-        extra = ["--no-adjoint"]
-    else:
-        raise ValueError(mode)
-    run_dir = _run_train(base + extra, runs_dir)
+    run_dir = _run_train([*_adjsweep_args(mode), "--seed", str(seed)],
+                         runs_dir)
     _emit({"key": key, "top1": _best_top1(run_dir),
            "run_dir": str(run_dir)})
+
+
+def adjsweep_population(
+    seeds: list[int], mode: str, runs_dir: Path
+) -> None:
+    dirs = _run_train_population(_adjsweep_args(mode), seeds, runs_dir)
+    for seed, run_dir in dirs.items():
+        _emit({"key": f"adjsweep-{mode}-seed{seed}",
+               "top1": _best_top1(run_dir), "run_dir": str(run_dir),
+               "population": True})
 
 
 LADDER = [
@@ -182,6 +234,11 @@ def main():
                    choices=["flagship", "adjsweep", "ladder", "all"])
     p.add_argument("--seeds", default="0,1,2")
     p.add_argument("--summarize", action="store_true")
+    p.add_argument("--population", action="store_true",
+                   help="train every missing seed of a cell in ONE "
+                        "vmapped population run (train.py --seeds; one "
+                        "dispatch per epoch covers all seeds) instead of "
+                        "one process per seed")
     p.add_argument("--runs-dir", default=str(ROOT / "runs_tpu"))
     args = p.parse_args()
     if args.summarize:
@@ -198,6 +255,27 @@ def main():
             continue
         if rec["key"].startswith("flagship-seed"):
             flagship_dirs[int(rec["key"].rsplit("seed", 1)[1])] = rec["run_dir"]
+
+    if args.population:
+        # Batch the missing seeds of each cell into one population run.
+        if args.phase in ("flagship", "all", "ladder"):
+            todo = [s for s in seeds if f"flagship-seed{s}" not in _done()]
+            if todo:
+                flagship_dirs.update(
+                    {s: str(d) for s, d in
+                     flagship_population(todo, runs_dir).items()})
+        if args.phase in ("adjsweep", "all"):
+            for mode in ("reintegrate", "interpolated", "seminorm",
+                         "backprop"):
+                todo = [s for s in seeds
+                        if f"adjsweep-{mode}-seed{s}" not in _done()]
+                if todo:
+                    adjsweep_population(todo, mode, runs_dir)
+        if args.phase in ("ladder", "all"):
+            for seed in seeds:
+                if seed in flagship_dirs:
+                    ladder(seed, flagship_dirs[seed])
+        return
 
     for seed in seeds:
         if args.phase in ("flagship", "all", "ladder"):
