@@ -106,8 +106,18 @@ def fused_rk_eligible(cfg: ModelConfig, h0_shape, h0_dtype) -> bool:
 
 
 def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
-           nfe_sink=None):
-    """Run the ODE block over ``ts``; returns ((T, B, H, W, C), stats)."""
+           nfe_sink=None, tol=None):
+    """Run the ODE block over ``ts``; returns ((T, B, H, W, C), stats).
+
+    ``tol`` overrides ``cfg.tol`` at runtime and may be a traced scalar —
+    the adaptive engine consumes rtol/atol as plain arithmetic, so a
+    tolerance *axis* can be vmapped (sweep.py --fused runs a whole rtol
+    grid in ONE compile + ONE dispatch).  A traced tol disables the
+    opt-in fused-RK Pallas kernel (it bakes tolerances into the kernel).
+    """
+    runtime_tol = tol is not None
+    if tol is None:
+        tol = cfg.tol
     if adjoint:
         # The adjoint differentiates the dynamics with jax.vjp; the Pallas
         # path is differentiable through its custom-VJP kernel pair, so no
@@ -120,8 +130,8 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
             params["odefunc"],
             h0,
             ts,
-            rtol=cfg.tol,
-            atol=cfg.tol,
+            rtol=tol,
+            atol=tol,
             method=cfg.method,
             error_control=cfg.error_control,
             max_steps=cfg.max_steps,
@@ -135,7 +145,7 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
         return odefunc_apply(params["odefunc"], t, y, cfg)
 
     fused_step = None
-    if fused_rk_eligible(cfg, h0.shape, h0.dtype):
+    if not runtime_tol and fused_rk_eligible(cfg, h0.shape, h0.dtype):
         # Whole-RK-step Pallas kernel: 6 FSAL dynamics evals + stage sums +
         # embedded error norm VMEM-resident (kernels/rk_step_pallas.py).
         from ..kernels.rk_step_pallas import make_fused_dopri5_step
@@ -155,8 +165,8 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
         dyn_closed,
         h0,
         ts,
-        rtol=cfg.tol,
-        atol=cfg.tol,
+        rtol=tol,
+        atol=tol,
         method=cfg.method,
         error_control=cfg.error_control,
         max_steps=cfg.max_steps,
@@ -166,20 +176,22 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
 
 def odenet_logits(
     params, x: jnp.ndarray, cfg: ModelConfig, *, adjoint: bool | None = None,
-    nfe_sink=None,
+    nfe_sink=None, tol=None,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Classification forward: solve h over [0, 1], head on h(1).
 
     ``adjoint`` overrides ``cfg.adjoint`` (training wants the adjoint path,
     inference the plain one).  ``nfe_sink`` (adjoint path only): scalar whose
     gradient reports backward-solve NFE — see
-    :func:`..solver.adjoint.odeint_adjoint`.
+    :func:`..solver.adjoint.odeint_adjoint`.  ``tol`` overrides ``cfg.tol``
+    at runtime; it may be traced, so a tolerance grid can be vmapped into
+    one compile/dispatch (see :func:`_solve`).
     """
     adjoint = cfg.adjoint if adjoint is None else adjoint
     h0 = stem_apply(params["stem"], x, cfg)
     ts = jnp.asarray([0.0, 1.0], h0.dtype)
     traj, stats = _solve(params, h0, ts, cfg, adjoint=adjoint,
-                         nfe_sink=nfe_sink if adjoint else None)
+                         nfe_sink=nfe_sink if adjoint else None, tol=tol)
     logits = head_apply(params["head"], traj[-1], cfg)
     return logits, stats
 
