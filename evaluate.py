@@ -160,7 +160,16 @@ def main(argv=None):
         _plot_metrics(rows, out_png)
         print(f"wrote {out_png}")
 
-    best = max(rows, key=lambda r: r.get("linear_acc", r.get("knn_acc", 0)))
+    def _score(r):
+        # First metric that was actually computed (with --metrics map only,
+        # keying on linear_acc would make every row score 0 and "best"
+        # degenerate to the first row).
+        for k in ("linear_acc", "knn_acc", "retrieval_map"):
+            if k in r:
+                return r[k]
+        return 0.0
+
+    best = max(rows, key=_score)
     print(f"best t: {best}")
     return out
 

@@ -11,6 +11,10 @@ per-t feature matrices to an HDF5 file in the run directory.
 ResNet checkpoints tap the discrete block boundaries instead (block k ↦
 t = k/num_blocks).
 
+``--fused`` runs the whole split (and the --nfe-sort probe pass) as ONE
+jitted ``lax.scan`` dispatch instead of one dispatch per batch — identical
+output, one tunnel round-trip (~0.6 s each on this machine's TPU).
+
 Output layout (``features.h5`` unless --output):
     /t            (T,)  float32 — integration times
     /features     (T, N, C) float32 — per-t feature matrices
@@ -47,8 +51,29 @@ def parse_args(argv=None):
                         "helps when per-sample NFE actually varies - on the "
                         "synthetic twins it is uniform and this is a no-op "
                         "costing one extra loose pass")
+    p.add_argument("--fused", action="store_true",
+                   help="extract the WHOLE split in one device dispatch "
+                        "(lax.scan over the padded batches inside jit) "
+                        "instead of one dispatch per batch — on the "
+                        "tunneled TPU each dispatch costs ~0.6 s. The "
+                        "--nfe-sort probe pass fuses the same way. "
+                        "Results are identical")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
+
+
+def _scan_batches(fn, params, imgs_stacked):
+    """Run ``fn(params, batch)`` over a (S, B, ...) batch stack as ONE jitted
+    ``lax.scan`` dispatch; returns the stacked outputs on host."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(p, imgs):
+        return lax.scan(lambda _, im: (None, fn(p, im)), None, imgs)[1]
+
+    return jax.device_get(run(params, jnp.asarray(imgs_stacked)))
 
 
 def main(argv=None):
@@ -104,20 +129,29 @@ def main(argv=None):
         cfg_loose = dataclasses.replace(cfg, tol=min(cfg.tol * 10, 1e-1),
                                         adjoint=False)
 
-        @jax.jit
-        def probe(p, img_u8):
+        def probe_body(p, img_u8):
             x = normalize(img_u8, dataset)
             _, st = odenet_logits(p, x, cfg_loose)
             return st.nfe
 
+        probe = jax.jit(probe_body)
         probe_b = Batches(images, labels, args.batch_size, shuffle=False,
                           drop_remainder=False)
         nfe_pred = []
-        for img, _, valid in probe_b.padded_batches():
-            nfe = np.asarray(jax.device_get(probe(params, img)))
-            if nfe.shape[0] != valid.shape[0]:
-                nfe = np.broadcast_to(nfe, valid.shape)
-            nfe_pred.append(nfe[valid])
+        if args.fused:
+            trip = list(probe_b.padded_batches())
+            nfes = _scan_batches(probe_body, params,
+                                 np.stack([t[0] for t in trip]))
+            for (_, _, valid), nfe in zip(trip, np.asarray(nfes)):
+                if nfe.shape[0] != valid.shape[0]:
+                    nfe = np.broadcast_to(nfe, valid.shape)
+                nfe_pred.append(nfe[valid])
+        else:
+            for img, _, valid in probe_b.padded_batches():
+                nfe = np.asarray(jax.device_get(probe(params, img)))
+                if nfe.shape[0] != valid.shape[0]:
+                    nfe = np.broadcast_to(nfe, valid.shape)
+                nfe_pred.append(nfe[valid])
         order = np.argsort(np.concatenate(nfe_pred), kind="stable")
         images, labels = images[order], labels[order]
         print(f"nfe-sort: predicted NFE spread "
@@ -129,30 +163,41 @@ def main(argv=None):
     if model == "odenet":
         ts = jnp.linspace(0.0, 1.0, args.timestamps)
 
-        @jax.jit
-        def extract_batch(p, img_u8):
+        def extract_body(p, img_u8):
             x = normalize(img_u8, dataset)
             traj, stats = odenet_trajectory(p, x, ts, cfg)
             return pool_features(traj), stats.nfe
     else:
         ts = jnp.linspace(0.0, 1.0, cfg.num_blocks + 1)
 
-        @jax.jit
-        def extract_batch(p, img_u8):
+        def extract_body(p, img_u8):
             x = normalize(img_u8, dataset)
             states = resnet_block_states(p, x, cfg)
             feats = pool_features(states)
             return feats, jnp.zeros((x.shape[0],), jnp.int32)
 
     feats_parts, nfe_parts, label_parts = [], [], []
-    for img, lab, valid in batches.padded_batches():
-        f, nfe = jax.device_get(extract_batch(params, img))
-        if nfe.shape[0] != valid.shape[0]:  # global error control: (1,) NFE
-            nfe = np.broadcast_to(nfe, valid.shape)
-        f, nfe, lab = f[:, valid], nfe[valid], lab[valid]
-        feats_parts.append(np.asarray(f, np.float32))
-        nfe_parts.append(np.asarray(nfe, np.int32))
-        label_parts.append(lab)
+    if args.fused:
+        trip = list(batches.padded_batches())
+        feats_all, nfes_all = _scan_batches(
+            extract_body, params, np.stack([t[0] for t in trip]))
+        for (_, lab, valid), f, nfe in zip(trip, np.asarray(feats_all),
+                                           np.asarray(nfes_all)):
+            if nfe.shape[0] != valid.shape[0]:
+                nfe = np.broadcast_to(nfe, valid.shape)
+            feats_parts.append(np.asarray(f[:, valid], np.float32))
+            nfe_parts.append(np.asarray(nfe[valid], np.int32))
+            label_parts.append(lab[valid])
+    else:
+        extract_batch = jax.jit(extract_body)
+        for img, lab, valid in batches.padded_batches():
+            f, nfe = jax.device_get(extract_batch(params, img))
+            if nfe.shape[0] != valid.shape[0]:  # global control: (1,) NFE
+                nfe = np.broadcast_to(nfe, valid.shape)
+            f, nfe, lab = f[:, valid], nfe[valid], lab[valid]
+            feats_parts.append(np.asarray(f, np.float32))
+            nfe_parts.append(np.asarray(nfe, np.int32))
+            label_parts.append(lab)
 
     features = np.concatenate(feats_parts, axis=1)  # (T, N, C)
     nfe = np.concatenate(nfe_parts)

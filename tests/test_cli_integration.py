@@ -37,6 +37,18 @@ def test_cli_pipeline(tmp_path):
         assert f["features"].shape[0] == 3
         assert np.all(np.asarray(f["nfe"]) > 0)
 
+    # --fused (whole split in ONE dispatch) must reproduce the per-batch
+    # extraction exactly.
+    h5_f = extract_cli.main([
+        "--run", str(run_dir), "--timestamps", "3", "--limit", "64",
+        "--batch-size", "32", "--fused",
+        "--output", str(tmp_path / "fused.h5"),
+    ])
+    with h5py.File(h5) as a, h5py.File(h5_f) as b:
+        np.testing.assert_array_equal(a["nfe"][:], b["nfe"][:])
+        np.testing.assert_allclose(a["features"][:], b["features"][:],
+                                   rtol=1e-6, atol=1e-7)
+
     csv_path = evaluate_cli.main([
         "--features", str(h5), "--limit", "60", "--metrics", "map",
     ])
