@@ -134,7 +134,6 @@ def main(argv=None):
             _, st = odenet_logits(p, x, cfg_loose)
             return st.nfe
 
-        probe = jax.jit(probe_body)
         probe_b = Batches(images, labels, args.batch_size, shuffle=False,
                           drop_remainder=False)
         nfe_pred = []
@@ -147,6 +146,7 @@ def main(argv=None):
                     nfe = np.broadcast_to(nfe, valid.shape)
                 nfe_pred.append(nfe[valid])
         else:
+            probe = jax.jit(probe_body)
             for img, _, valid in probe_b.padded_batches():
                 nfe = np.asarray(jax.device_get(probe(params, img)))
                 if nfe.shape[0] != valid.shape[0]:

@@ -35,7 +35,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .parallel import population_sharding, replicate
+import warnings
+
+from .parallel import population_sharding, population_shardings, replicate
 from .training import TrainConfig, Trainer, _model_fns
 
 __all__ = ["PopulationTrainer"]
@@ -86,8 +88,19 @@ class PopulationTrainer:
 
         k = len(self.seeds)
         psh = population_sharding(self.mesh, k)
-        self._psh = jax.tree.map(lambda _: psh, params)
-        self._osh = jax.tree.map(lambda _: psh, opt_state)
+        self._pop_leaf_sh = psh
+        n_dev = self.mesh.devices.size
+        if n_dev > 1 and k % n_dev != 0:
+            warnings.warn(
+                f"population of {k} seeds does not divide the {n_dev}-device "
+                f"mesh: the seed axis replicates, so EVERY device computes "
+                f"the full population (no parallel speedup on this "
+                f"topology). Pick a seed count that is a multiple of the "
+                f"device count to shard members across chips.",
+                stacklevel=2,
+            )
+        self._psh = population_shardings(self.mesh, params, k)
+        self._osh = population_shardings(self.mesh, opt_state, k)
         self.params = jax.device_put(params, self._psh)
         self.opt_state = jax.device_put(opt_state, self._osh)
 
@@ -155,7 +168,7 @@ class PopulationTrainer:
             jax.random.fold_in(jax.random.PRNGKey(s + 1), epoch)
             for s in self.seeds
         ])
-        psh = population_sharding(self.mesh, len(self.seeds))
+        psh = self._pop_leaf_sh
         self.params, self.opt_state, metrics = self._pop_epoch(
             self.params,
             self.opt_state,
@@ -209,20 +222,31 @@ class PopulationTrainer:
         ]
 
     # -- per-seed state (solo-Trainer compatible) ------------------------------
-    def params_for(self, i: int):
-        """Seed ``i``'s parameters as a host pytree (solo-shaped)."""
-        return _index(jax.device_get(self.params), i)
+    def host_states(self):
+        """ONE device→host fetch of the whole population's (params,
+        opt_state); pass the result to :meth:`params_for` /
+        :meth:`save_state_for` when saving several members (per-member
+        fetches would transfer the full stacked trees K times over a
+        tunnel whose fetch latency is the dominant cost here)."""
+        return (jax.device_get(self.params), jax.device_get(self.opt_state))
 
-    def save_state_for(self, i: int, path) -> None:
+    def params_for(self, i: int, host=None):
+        """Seed ``i``'s parameters as a host pytree (solo-shaped)."""
+        params = host[0] if host is not None else jax.device_get(self.params)
+        return _index(params, i)
+
+    def save_state_for(self, i: int, path, host=None) -> None:
         """Write seed ``i``'s full training state in the exact format of
         ``Trainer.save_state`` — a solo run can resume it."""
         from pathlib import Path
 
         from flax import serialization
 
+        if host is None:
+            host = self.host_states()
         blob = serialization.to_bytes({
-            "params": self.params_for(i),
-            "opt_state": _index(jax.device_get(self.opt_state), i),
+            "params": _index(host[0], i),
+            "opt_state": _index(host[1], i),
         })
         Path(path).write_bytes(blob)
 

@@ -256,11 +256,14 @@ def _fused_sweep(args, params, cfg0, dataset, images, labels):
             return jax.vmap(per_tol)(rtols)
 
         idx_d = jnp.asarray(idx)
-        # Compile outside the timed region (minutes on the tunnel, cached).
-        jax.block_until_ready(sweep_fn(params, imgs_d, labs_d, idx_d, rtols))
+        # AOT-compile outside the timed region (minutes on the tunnel,
+        # cached) WITHOUT executing — a warmup call would run the whole
+        # grid twice (code-review r3s4).
+        compiled = sweep_fn.lower(params, imgs_d, labs_d, idx_d,
+                                  rtols).compile()
         t0 = time.perf_counter()
         correct, nfes = jax.device_get(
-            sweep_fn(params, imgs_d, labs_d, idx_d, rtols))
+            compiled(params, imgs_d, labs_d, idx_d, rtols))
         dt = time.perf_counter() - t0
         rows = [
             {
@@ -299,9 +302,9 @@ def _fused_sweep(args, params, cfg0, dataset, images, labels):
 
             return jax.vmap(per_tol)(rtols)
 
-        jax.block_until_ready(sweep_fn(params, x, rtols))
+        compiled = sweep_fn.lower(params, x, rtols).compile()
         t0 = time.perf_counter()
-        out, nfe_means = jax.device_get(sweep_fn(params, x, rtols))
+        out, nfe_means = jax.device_get(compiled(params, x, rtols))
         dt = time.perf_counter() - t0
         rows = [
             {

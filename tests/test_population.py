@@ -78,9 +78,14 @@ def test_population_seed_axis_shards_over_data():
 def test_population_odenet_state_roundtrip(tmp_path):
     """Adjoint ODE-Net population: epoch + fused eval run; a per-seed state
     written by the population loads into a solo Trainer and evaluates to
-    the same accuracy (format + semantics compatibility)."""
+    the same accuracy (format + semantics compatibility).
+
+    num_devices=1: the vmapped adjoint epoch is the suite's heaviest
+    XLA:CPU compile and multi-device variants of it belong in bare
+    processes (CLAUDE.md segfault rule); the 2-device sharding semantics
+    are covered by the cheap ResNet tests above."""
     x, y, xt, yt = _tiny_data()
-    cfg = _tiny_cfg()
+    cfg = _tiny_cfg(num_devices=1)
     steps = len(x) // cfg.batch_size
 
     pop = PopulationTrainer(cfg, [0, 1], steps)

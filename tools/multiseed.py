@@ -100,8 +100,10 @@ def _run_train_population(
     cmd = [sys.executable, str(ROOT / "train.py"), *args_list,
            "--seeds", ",".join(str(s) for s in seeds),
            "--runs-dir", str(runs_dir)]
+    # One process does ~K seeds' compute: scale the solo budget by K.
     proc = subprocess.run(cmd, cwd=str(ROOT), capture_output=True, text=True,
-                          timeout=5400, start_new_session=True)
+                          timeout=5400 * max(1, len(seeds)),
+                          start_new_session=True)
     if proc.returncode != 0:
         raise RuntimeError(
             f"population train failed rc={proc.returncode}:\n"

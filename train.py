@@ -346,6 +346,12 @@ def main_population(args, cfg, exp_params):
         raise SystemExit("--tensorboard is per-run; use a solo --seed run")
     if args.state_format != "msgpack":
         raise SystemExit("population training saves per-seed msgpack states")
+    if not args.fused_epoch:
+        raise SystemExit(
+            "--no-fused-epoch is incompatible with --seeds: the population "
+            "path IS the vmapped fused-epoch step (and the per-batch path "
+            "has different shuffle/augment RNG semantics, so recording "
+            "fused_epoch=False would misdescribe the run)")
     seeds = [int(s) for s in args.seeds.split(",") if s]
     if len(set(seeds)) != len(seeds):
         raise SystemExit(f"duplicate seeds in --seeds {args.seeds}")
@@ -409,6 +415,7 @@ def main_population(args, cfg, exp_params):
             epoch == args.epochs - 1
         )
         evs = pop.evaluate_fused(x_test, y_test) if do_eval else None
+        host = pop.host_states()  # one fetch for all K members' saves
         for i, (s, exp) in enumerate(zip(seeds, exps)):
             nfe_b_m[i].reset()
             for j in range(em["loss"].shape[1]):
@@ -434,18 +441,22 @@ def main_population(args, cfg, exp_params):
                 if ev["acc"] >= best[i]:
                     best[i] = ev["acc"]
                     save_checkpoint(
-                        exp.file("ckpt_best.msgpack"), pop.params_for(i),
+                        exp.file("ckpt_best.msgpack"),
+                        pop.params_for(i, host=host),
                         pop.model_cfg,
                         extra={"epoch": epoch, "test_acc": ev["acc"],
                                "train": {**exp_params, "seed": s},
                                "model": args.model})
-            pop.save_state_for(i, exp.file("train_state.msgpack"))
+            pop.save_state_for(i, exp.file("train_state.msgpack"),
+                               host=host)
             exp.log(row)
             print(f"seed {s} | " + " | ".join(f"{k}={v}"
                                               for k, v in row.items()),
                   flush=True)
+    host = pop.host_states()
     for i, (s, exp) in enumerate(zip(seeds, exps)):
-        save_checkpoint(exp.file("ckpt_last.msgpack"), pop.params_for(i),
+        save_checkpoint(exp.file("ckpt_last.msgpack"),
+                        pop.params_for(i, host=host),
                         pop.model_cfg,
                         extra={"epoch": args.epochs - 1, "test_acc": best[i],
                                "train": {**exp_params, "seed": s},
