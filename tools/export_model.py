@@ -197,6 +197,60 @@ def do_export_compiled(args):
                       "sha256": meta["sha256"]}))
 
 
+def write_mock_artifact(out_dir, in_shape=(4, 3, 5), out_shape=(4, 10),
+                        scale=2.0, shift=1.0, layout="reversed", seed=0):
+    """Fabricate a ``.npexec`` artifact for ``native/mock_pjrt_plugin.so``.
+
+    The mock plugin (native/mock_pjrt_plugin.cc) computes
+    ``out[j] = scale * in.ravel()[j % in.size] + shift`` and, with
+    ``layout="reversed"``, hands the output back in Fortran-order bytes —
+    exercising the serving host's device-layout un-permute path without a
+    TPU.  The artifact layout is identical to ``export-compiled``'s, so
+    every pjrt_serve mode (--selftest/--bench/--serve/--listen) runs
+    against it unchanged.
+    """
+    import numpy as np
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    desc = (
+        "MOCKEXEC1\n"
+        f"out_shape={','.join(str(d) for d in out_shape)}\n"
+        f"scale={scale}\n"
+        f"shift={shift}\n"
+        f"layout={layout}\n"
+    )
+    (out / "executable.bin").write_text(desc)
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=in_shape).astype(np.float32)
+    n_out = int(np.prod(out_shape))
+    flat = x.ravel()
+    y = (scale * flat[np.arange(n_out) % flat.size] + shift).astype(
+        np.float32).reshape(out_shape)
+    np.save(out / "sample_input.npy", np.ascontiguousarray(x))
+    np.save(out / "expected_logits.npy", y)
+    meta = {
+        "format": "mock-pjrt-descriptor",
+        "platform": "mock",
+        "inputs": [{"shape": list(in_shape), "dtype": "float32"}],
+        "outputs": [{"shape": list(out_shape), "dtype": "float32"}],
+        "chain": 1,
+        "scale": scale,
+        "shift": shift,
+        "layout": layout,
+    }
+    (out / "meta.json").write_text(json.dumps(meta, indent=2))
+    return out
+
+
+def do_export_mock(args):
+    out = write_mock_artifact(
+        args.out, in_shape=tuple(int(d) for d in args.in_shape.split(",")),
+        out_shape=tuple(int(d) for d in args.out_shape.split(",")),
+        scale=args.scale, shift=args.shift, layout=args.layout)
+    print(f"mock artifact: {out}")
+
+
 def do_run(args):
     import jax
     import jax.numpy as jnp
@@ -256,6 +310,17 @@ def main(argv=None):
     pc.add_argument("--cpu", action="store_true",
                     help="pin to CPU (artifact then serves only on CPU)")
     pc.set_defaults(fn=do_export_compiled)
+    pm = sub.add_parser("export-mock",
+                        help="fabricate a .npexec for the mock PJRT plugin "
+                             "(hermetic native-host testing, no TPU)")
+    pm.add_argument("--out", required=True)
+    pm.add_argument("--in-shape", default="4,3,5")
+    pm.add_argument("--out-shape", default="4,10")
+    pm.add_argument("--scale", type=float, default=2.0)
+    pm.add_argument("--shift", type=float, default=1.0)
+    pm.add_argument("--layout", default="reversed",
+                    choices=["reversed", "rowmajor"])
+    pm.set_defaults(fn=do_export_mock, cpu=True)
     pr = sub.add_parser("run")
     pr.add_argument("--artifact", required=True)
     pr.add_argument("--run", default=None,
