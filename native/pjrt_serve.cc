@@ -31,10 +31,13 @@
 
 #include <dlfcn.h>
 #include <poll.h>
+#include <sys/socket.h>
+#include <sys/un.h>
 #include <unistd.h>
 
 #include <algorithm>
 #include <atomic>
+#include <cerrno>
 #include <cstdarg>
 #include <chrono>
 #include <deque>
@@ -505,6 +508,80 @@ void destroy_buffer(PJRT_Buffer* b) {
   g_api->PJRT_Buffer_Destroy(&d);
 }
 
+// ------------------------------------------------------------ socket io --
+// Raw-tensor ingest over a unix stream socket (--listen): the file-based
+// stdin protocol costs two filesystem round trips per request (client
+// writes in.npy, server reads it; server writes out.npy, client reads it).
+// The socket mode streams the tensor BYTES instead — zero files, zero npy
+// parsing per request (shapes are fixed by the artifact and announced in
+// a hello frame), and the same depth-2 pipelining as the stdin loop.
+
+bool read_full(int fd, void* buf, size_t n) {
+  char* p = static_cast<char*>(buf);
+  while (n > 0) {
+    ssize_t r = read(fd, p, n);
+    if (r <= 0) {
+      if (r < 0 && errno == EINTR) continue;
+      return false;  // EOF or hard error
+    }
+    p += r;
+    n -= static_cast<size_t>(r);
+  }
+  return true;
+}
+
+bool write_full(int fd, const void* buf, size_t n) {
+  const char* p = static_cast<const char*>(buf);
+  while (n > 0) {
+    ssize_t w = write(fd, p, n);
+    if (w <= 0) {
+      if (w < 0 && errno == EINTR) continue;
+      return false;
+    }
+    p += w;
+    n -= static_cast<size_t>(w);
+  }
+  return true;
+}
+
+// Response frame: u8 status (0=OK payload=tensor bytes; 1=ERR payload=text)
+// + u32 payload length + payload.
+bool send_frame(int fd, uint8_t status, const void* payload, uint32_t len) {
+  if (!write_full(fd, &status, 1)) return false;
+  if (!write_full(fd, &len, 4)) return false;
+  return len == 0 || write_full(fd, payload, len);
+}
+
+bool send_err(int fd, const std::string& msg) {
+  return send_frame(fd, 1, msg.data(), static_cast<uint32_t>(msg.size()));
+}
+
+int listen_unix(const std::string& path) {
+  sockaddr_un addr;
+  std::memset(&addr, 0, sizeof addr);
+  if (path.size() >= sizeof addr.sun_path)
+    die("--listen path too long for AF_UNIX (" +
+        std::to_string(sizeof addr.sun_path - 1) + " bytes max)");
+  unlink(path.c_str());
+  int fd = socket(AF_UNIX, SOCK_STREAM, 0);
+  if (fd < 0) die(std::string("socket: ") + std::strerror(errno));
+  addr.sun_family = AF_UNIX;
+  std::strncpy(addr.sun_path, path.c_str(), sizeof addr.sun_path - 1);
+  if (bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr) != 0)
+    die("bind " + path + ": " + std::strerror(errno));
+  if (listen(fd, 8) != 0)
+    die(std::string("listen: ") + std::strerror(errno));
+  return fd;
+}
+
+bool fd_has_bytes(int fd) {
+  struct pollfd pfd;
+  pfd.fd = fd;
+  pfd.events = POLLIN;
+  pfd.revents = 0;
+  return poll(&pfd, 1, 0) > 0 && (pfd.revents & (POLLIN | POLLHUP)) != 0;
+}
+
 }  // namespace
 
 std::atomic<const char*> g_phase{"startup"};
@@ -534,7 +611,7 @@ void start_watchdog(double deadline_s) {
 
 int main(int argc, char** argv) {
   std::string artifact, plugin = "/opt/axon/libaxon_pjrt.so";
-  std::string input_path, output_path;
+  std::string input_path, output_path, listen_path;
   bool selftest = false;
   bool serve = false;
   int bench = 0;
@@ -554,6 +631,7 @@ int main(int argc, char** argv) {
     else if (a == "--output") output_path = next();
     else if (a == "--selftest") selftest = true;
     else if (a == "--serve") serve = true;
+    else if (a == "--listen") listen_path = next();
     else if (a == "--bench") bench = std::stoi(next());
     else if (a == "--tol") tol = std::stod(next());
     else if (a == "--deadline") deadline = std::stod(next());
@@ -564,8 +642,10 @@ int main(int argc, char** argv) {
   if (deadline > 0) start_watchdog(deadline);
   if (artifact.empty())
     die("usage: pjrt_serve <artifact_dir> [--selftest] [--bench N] "
-        "[--serve] [--input X.npy] [--output Y.npy] [--plugin SO] "
-        "[--tol T] [--deadline S] [--imgs N]");
+        "[--serve] [--listen SOCK] [--input X.npy] [--output Y.npy] "
+        "[--plugin SO] [--tol T] [--deadline S] [--imgs N]");
+  if (serve && !listen_path.empty())
+    die("--serve (stdin) and --listen (socket) are mutually exclusive");
   if (selftest && !input_path.empty())
     die("--selftest compares against the artifact's expected_logits for "
         "its OWN sample_input; it cannot be combined with --input");
@@ -805,6 +885,135 @@ int main(int argc, char** argv) {
     }
     drain_pending();
     logf("serve: loop ended");
+  }
+
+  if (!listen_path.empty()) {
+    // Socket request loop: raw f32 tensor bytes over an AF_UNIX stream —
+    // no temp files, no per-request npy parsing (shapes are pinned by the
+    // artifact and announced once per connection in a hello frame).
+    //
+    //   hello    (server->client, once per connection):
+    //            u32 len + JSON {proto, in_shape, out_shape, dtype,
+    //                            in_bytes, out_bytes}
+    //   request  (client->server): u32 len + payload
+    //            len == in_bytes   raw row-major f32 input tensor
+    //            len == 0          close this connection (server accepts
+    //                              the next client)
+    //            len == 0xFFFFFFFF shut the server down (clean exit)
+    //            other             protocol error -> ERR frame; the
+    //                              payload is consumed (up to a 64 MiB
+    //                              sanity cap) to keep the stream in sync
+    //   response (server->client): u8 status + u32 len + payload
+    //            status 0: payload = raw row-major f32 output tensor
+    //            status 1: payload = error message text
+    //
+    // Requests pipeline exactly like the stdin loop: while request i
+    // computes on the chip, the host reads + uploads request i+1 if its
+    // bytes are already queued on the socket (depth bounded at 2).
+    g_watchdog_off = true;
+    g_phase = "socket serve loop";
+
+    const size_t in_bytes = x.data.size();
+    std::string hello = "{\"proto\": \"pjrt-serve-socket-1\", \"dtype\": "
+                        "\"<f4\", \"in_shape\": [";
+    for (size_t i = 0; i < x.shape.size(); i++)
+      hello += (i ? "," : "") + std::to_string(x.shape[i]);
+    hello += "], \"out_shape\": [";
+    for (size_t i = 0; i < y.shape.size(); i++)
+      hello += (i ? "," : "") + std::to_string(y.shape[i]);
+    hello += "], \"in_bytes\": " + std::to_string(in_bytes) +
+             ", \"out_bytes\": " + std::to_string(y.data.size()) + "}";
+
+    int lfd = listen_unix(listen_path);
+    logf("listen: ready on %s (in %zu B, out %zu B per request)",
+         listen_path.c_str(), in_bytes, y.data.size());
+    std::printf("READY %s\n", listen_path.c_str());
+    std::fflush(stdout);
+
+    Npy req;           // reused request holder (shape fixed)
+    req.descr = "<f4";
+    req.shape = x.shape;
+    req.data.resize(in_bytes);
+
+    bool shutdown = false;
+    while (!shutdown) {
+      int cfd = accept(lfd, nullptr, nullptr);
+      if (cfd < 0) {
+        if (errno == EINTR) continue;
+        logf("accept: %s — stopping", std::strerror(errno));
+        break;
+      }
+      uint32_t hlen = static_cast<uint32_t>(hello.size());
+      if (!write_full(cfd, &hlen, 4) ||
+          !write_full(cfd, hello.data(), hello.size())) {
+        close(cfd);
+        continue;
+      }
+
+      struct InFlight {
+        std::vector<PJRT_Buffer*> outs;
+        PJRT_Buffer* in;
+      };
+      std::deque<InFlight> pending;
+      auto complete_oldest = [&]() -> bool {
+        InFlight p = std::move(pending.front());
+        pending.pop_front();
+        Npy ry = from_device(p.outs[0]);
+        for (PJRT_Buffer* b : p.outs) destroy_buffer(b);
+        destroy_buffer(p.in);
+        return send_frame(cfd, 0, ry.data.data(),
+                          static_cast<uint32_t>(ry.data.size()));
+      };
+      auto drain = [&]() -> bool {
+        while (!pending.empty())
+          if (!complete_oldest()) return false;
+        return true;
+      };
+
+      bool conn_open = true;
+      while (conn_open) {
+        // Client idle -> it is waiting on answers: flush in-flight work
+        // before blocking on the next frame (mirrors the stdin loop).
+        if (!pending.empty() && !fd_has_bytes(cfd)) {
+          if (!drain()) break;
+          continue;
+        }
+        uint32_t len;
+        if (!read_full(cfd, &len, 4)) break;  // EOF == close
+        if (len == 0) break;
+        if (len == 0xFFFFFFFFu) {
+          shutdown = true;
+          break;
+        }
+        if (len != in_bytes) {
+          if (!drain()) break;  // answers stay in request order
+          if (len > 64u * 1024 * 1024) {
+            send_err(cfd, "frame length " + std::to_string(len) +
+                              " exceeds sanity cap; closing");
+            break;  // cannot trust the stream any more
+          }
+          std::vector<char> sink(len);
+          if (!read_full(cfd, sink.data(), len)) break;
+          if (!send_err(cfd, "expected " + std::to_string(in_bytes) +
+                                 " bytes (f32, artifact input shape), got " +
+                                 std::to_string(len)))
+            break;
+          continue;
+        }
+        if (!read_full(cfd, req.data.data(), in_bytes)) break;
+        PJRT_Buffer* rbuf = to_device(ctx, req);
+        pending.push_back({execute(ctx, rbuf, num_outputs), rbuf});
+        if (pending.size() >= 2 && !complete_oldest()) break;
+      }
+      // Connection teardown: finish (and try to deliver) anything still
+      // in flight so device buffers never leak across connections.
+      drain();
+      close(cfd);
+      logf("listen: connection closed%s", shutdown ? " (shutdown)" : "");
+    }
+    close(lfd);
+    unlink(listen_path.c_str());
+    logf("listen: loop ended");
   }
 
   for (PJRT_Buffer* b : outs) destroy_buffer(b);

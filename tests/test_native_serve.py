@@ -1,23 +1,30 @@
-"""Native serving host (native/pjrt_serve) — build + CLI contract.
+"""Native serving host (native/pjrt_serve) — hermetic end-to-end coverage.
 
-The CPU suite cannot exercise the C++ PJRT execute path end-to-end: jaxlib
-ships no CPU PJRT C-API plugin ``.so`` (the CPU client is linked into
-``_jax.so`` without a ``GetPjrtApi`` export), and the axon TPU plugin needs
-the real tunnel.  Hardware verification lives in
-``probes/native_serve_probe.sh`` (committed log: the --selftest parity run
-on the v5e).  What this test pins:
+jaxlib ships no CPU PJRT C-API plugin ``.so`` (the CPU client is linked
+into ``_jax.so`` without a ``GetPjrtApi`` export) and the axon TPU plugin
+needs the real tunnel — so the host's PJRT execute path is driven here
+against ``native/mock_pjrt_plugin.so``: a host-memory implementation of
+the exact API subset the host uses, whose ``layout=reversed`` output
+buffers force the device-layout un-permute path (the real axon trap).
+Hardware verification of the REAL plugin lives in
+``probes/native_serve_probe.sh`` (committed log: --selftest on the v5e).
 
-  * the runner builds from source with the in-image toolchain;
-  * argument/contract errors exit non-zero BEFORE touching the plugin
-    (a serving box misconfiguration must fail fast, not hang on a claim);
-  * the .npy reader rejects non-f32 input with a clear message.
+Covered hermetically: build, fail-fast contract, --selftest parity (both
+OK and corrupted-expectation FAIL), the stdin file serve loop, and the
+--listen unix-socket loop (hello frame, raw-tensor roundtrip, protocol
+errors keeping the stream in sync, reconnect, shutdown frame, pipelined
+streaming via tools/serve_client.py).
 
 reference: none — SURVEY.md §2.3 (the reference has no native layer; the
 serving host EXCEEDS parity).
 """
 
+import json
 import pathlib
+import socket
+import struct
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -34,6 +41,9 @@ try:
 except Exception:  # pragma: no cover - tensorflow always in this image
     pass
 
+sys.path.insert(0, str(ROOT / "tools"))
+from export_model import write_mock_artifact  # noqa: E402
+
 
 @pytest.fixture(scope="module")
 def binary():
@@ -43,10 +53,32 @@ def binary():
     # binary equal mtimes, and this test must prove the CURRENT source
     # builds.
     subprocess.run(
-        ["make", "-B", f"TF_INC={TF_INC}"], cwd=NATIVE, check=True,
-        capture_output=True, text=True, timeout=300,
+        ["make", "-B", "all", f"TF_INC={TF_INC}"], cwd=NATIVE, check=True,
+        capture_output=True, text=True, timeout=600,
     )
     return NATIVE / "pjrt_serve"
+
+
+MOCK_PLUGIN = NATIVE / "mock_pjrt_plugin.so"
+IN_SHAPE, OUT_SHAPE = (3, 4, 2), (4, 10)
+SCALE, SHIFT = 2.0, 1.0
+
+
+def mock_logits(x):
+    """The mock plugin's function, computed independently in NumPy."""
+    flat = np.ascontiguousarray(x).ravel()
+    n = int(np.prod(OUT_SHAPE))
+    return (SCALE * flat[np.arange(n) % flat.size] + SHIFT).astype(
+        np.float32).reshape(OUT_SHAPE)
+
+
+@pytest.fixture(scope="module")
+def mock_artifact(binary, tmp_path_factory):
+    del binary  # ensure the plugin .so exists before any consumer runs
+    art = tmp_path_factory.mktemp("native") / "mock.npexec"
+    write_mock_artifact(art, in_shape=IN_SHAPE, out_shape=OUT_SHAPE,
+                        scale=SCALE, shift=SHIFT, layout="reversed")
+    return art
 
 
 def test_builds(binary):
@@ -94,3 +126,184 @@ def test_artifact_validation_precedes_session(binary, tmp_path):
                        text=True, timeout=60)
     assert p.returncode != 0
     assert "only <f4" in (p.stdout + p.stderr)
+
+
+# ---- hermetic end-to-end against the mock plugin ---------------------------
+
+
+def test_mock_selftest_parity(binary, mock_artifact):
+    # Full PJRT path on CPU: upload, execute, reversed-layout fetch +
+    # un-permute, bit-exact comparison against expected_logits.npy.
+    p = subprocess.run(
+        [str(binary), str(mock_artifact), "--selftest",
+         "--plugin", str(MOCK_PLUGIN)],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode == 0, p.stderr
+    assert "SELFTEST OK max_diff=0.000e+00" in p.stdout
+
+
+def test_mock_selftest_detects_corruption(binary, mock_artifact, tmp_path):
+    # A wrong expectation must FAIL the selftest — proves the parity check
+    # actually discriminates (and that the un-permute isn't vacuous).
+    art = tmp_path / "bad.npexec"
+    write_mock_artifact(art, in_shape=IN_SHAPE, out_shape=OUT_SHAPE,
+                        scale=SCALE, shift=SHIFT, layout="reversed")
+    bad = np.load(art / "expected_logits.npy")
+    bad[0, 0] += 1.0
+    np.save(art / "expected_logits.npy", bad)
+    p = subprocess.run(
+        [str(binary), str(art), "--selftest", "--plugin", str(MOCK_PLUGIN)],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode == 2
+    assert "SELFTEST FAILED" in p.stderr
+
+
+def test_mock_stdin_serve_loop(binary, mock_artifact, tmp_path):
+    # The real stdin serve loop (not the Python mock server): two good
+    # requests, one malformed (answers ERR, server survives), quit.
+    proc = subprocess.Popen(
+        [str(binary), str(mock_artifact), "--serve",
+         "--plugin", str(MOCK_PLUGIN)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1)
+    try:
+        assert proc.stdout.readline().strip() == "READY"
+        rng = np.random.default_rng(1)
+        for i in range(2):
+            x = rng.normal(size=IN_SHAPE).astype(np.float32)
+            in_p, out_p = tmp_path / f"in{i}.npy", tmp_path / f"out{i}.npy"
+            np.save(in_p, x)
+            proc.stdin.write(f"{in_p} {out_p}\n")
+            resp = proc.stdout.readline()
+            assert resp.startswith("OK "), resp
+            np.testing.assert_array_equal(np.load(out_p), mock_logits(x))
+        proc.stdin.write(f"{tmp_path / 'missing.npy'} {tmp_path / 'o'}\n")
+        assert proc.stdout.readline().startswith("ERR ")
+        # Server must still answer after an ERR.
+        proc.stdin.write(f"{tmp_path / 'in0.npy'} {tmp_path / 'out2.npy'}\n")
+        assert proc.stdout.readline().startswith("OK ")
+        proc.stdin.write("quit\n")
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def _recv_exact(conn, n):
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        assert chunk, "server closed mid-frame"
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_response(conn):
+    status = _recv_exact(conn, 1)[0]
+    (length,) = struct.unpack("<I", _recv_exact(conn, 4))
+    return status, _recv_exact(conn, length)
+
+
+def _send_req(conn, payload_bytes):
+    conn.sendall(struct.pack("<I", len(payload_bytes)))
+    conn.sendall(payload_bytes)
+
+
+@pytest.fixture()
+def socket_server(binary, mock_artifact, tmp_path):
+    sock = tmp_path / "s.sock"
+    proc = subprocess.Popen(
+        [str(binary), str(mock_artifact), "--listen", str(sock),
+         "--plugin", str(MOCK_PLUGIN)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        bufsize=1)
+    ready = proc.stdout.readline().strip()
+    assert ready == f"READY {sock}", ready
+    yield proc, str(sock)
+    if proc.poll() is None:
+        proc.kill()
+        proc.wait(timeout=30)
+
+
+def _connect(sock_path):
+    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    conn.connect(sock_path)
+    (hlen,) = struct.unpack("<I", _recv_exact(conn, 4))
+    return conn, json.loads(_recv_exact(conn, hlen))
+
+
+def test_socket_roundtrip_and_protocol(socket_server):
+    proc, sock_path = socket_server
+    conn, hello = _connect(sock_path)
+    assert hello["proto"] == "pjrt-serve-socket-1"
+    assert tuple(hello["in_shape"]) == IN_SHAPE
+    assert tuple(hello["out_shape"]) == OUT_SHAPE
+    assert hello["in_bytes"] == int(np.prod(IN_SHAPE)) * 4
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=IN_SHAPE).astype(np.float32)
+    _send_req(conn, x.tobytes())
+    status, payload = _recv_response(conn)
+    assert status == 0
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.float32).reshape(OUT_SHAPE),
+        mock_logits(x))
+
+    # Wrong-size frame: ERR response AND the stream stays usable.
+    _send_req(conn, b"\x00" * 12)
+    status, payload = _recv_response(conn)
+    assert status == 1
+    assert b"expected" in payload
+    _send_req(conn, x.tobytes())
+    status, payload = _recv_response(conn)
+    assert status == 0
+
+    # len==0 closes the CONNECTION; the server then accepts a new client.
+    conn.sendall(struct.pack("<I", 0))
+    conn.close()
+    conn2, hello2 = _connect(sock_path)
+    assert hello2 == hello
+    _send_req(conn2, x.tobytes())
+    status, _ = _recv_response(conn2)
+    assert status == 0
+
+    # Shutdown frame: clean server exit.
+    conn2.sendall(struct.pack("<I", 0xFFFFFFFF))
+    conn2.close()
+    assert proc.wait(timeout=30) == 0
+
+
+def test_socket_pipelined_stream_in_order(socket_server):
+    # Stream 6 requests with ≤2 in flight; the answers must come back in
+    # request order with correct values (the depth-2 pipeline must not
+    # reorder or cross-wire buffers).
+    proc, sock_path = socket_server
+    conn, _ = _connect(sock_path)
+    rng = np.random.default_rng(3)
+    xs = [rng.normal(size=IN_SHAPE).astype(np.float32) for _ in range(6)]
+    sent = 0
+    for i in range(6):
+        while sent < 6 and sent - i < 2:
+            _send_req(conn, xs[sent].tobytes())
+            sent += 1
+        status, payload = _recv_response(conn)
+        assert status == 0
+        np.testing.assert_array_equal(
+            np.frombuffer(payload, np.float32).reshape(OUT_SHAPE),
+            mock_logits(xs[i]))
+    conn.sendall(struct.pack("<I", 0xFFFFFFFF))
+    conn.close()
+    assert proc.wait(timeout=30) == 0
+
+
+@pytest.mark.parametrize("extra", [[], ["--pipeline"]])
+def test_serve_client_socket_end_to_end(binary, mock_artifact, extra):
+    p = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "serve_client.py"),
+         "--artifact", str(mock_artifact), "--transport", "socket",
+         "--plugin", str(MOCK_PLUGIN), "--requests", "5", *extra],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "max|diff|=0.000e+00" in p.stdout
+    if extra:
+        assert "pipelined(socket)" in p.stdout

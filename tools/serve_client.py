@@ -9,10 +9,17 @@ from a consumer's seat:
 
     python tools/serve_client.py --artifact <dir>.npexec --requests 4
 
-The wire protocol (one line per request) is the simplest thing that a
-sidecar can speak from ANY language: "<in.npy> <out.npy>" -> "OK <out.npy>
-<seconds>" | "ERR <msg>". Files ride a tmpfs; for a network hop put the
-exchange dir on a shared mount.
+Two transports:
+
+  --transport files (default): one line per request — "<in.npy> <out.npy>"
+      -> "OK <out.npy> <seconds>" | "ERR <msg>". The simplest thing a
+      sidecar can speak from ANY language; files ride a tmpfs; for a
+      network hop put the exchange dir on a shared mount.
+  --transport socket: raw f32 tensor bytes over an AF_UNIX stream
+      (pjrt_serve --listen) — zero files and zero per-request npy parsing.
+      Frames: hello (u32 len + JSON shapes) once per connection; request
+      u32 len + payload; response u8 status + u32 len + payload. Depth-2
+      pipelined by the server exactly like the stdin loop.
 
 reference: none — SURVEY.md §2.3 (the reference ships no serving layer).
 """
@@ -20,6 +27,9 @@ reference: none — SURVEY.md §2.3 (the reference ships no serving layer).
 from __future__ import annotations
 
 import argparse
+import json
+import socket
+import struct
 import subprocess
 import sys
 import tempfile
@@ -29,6 +39,129 @@ from pathlib import Path
 import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
+
+
+def _recv_exact(conn, n):
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("server closed the socket mid-frame")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_response(conn):
+    status = _recv_exact(conn, 1)[0]
+    (length,) = struct.unpack("<I", _recv_exact(conn, 4))
+    payload = _recv_exact(conn, length)
+    return status, payload
+
+
+def run_socket(args, sample, expected):
+    """Drive the server's --listen unix-socket transport."""
+    sock_dir = tempfile.mkdtemp(prefix="pjrt_serve_sock_")
+    sock_path = f"{sock_dir}/serve.sock"
+    cmd = [args.binary, args.artifact, "--listen", sock_path,
+           "--deadline", str(args.startup_timeout)]
+    if args.plugin:
+        cmd += ["--plugin", args.plugin]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, bufsize=1)
+    conn = None
+    try:
+        t0 = time.perf_counter()
+        ready = proc.stdout.readline().strip()
+        if not ready.startswith("READY "):
+            print(f"server failed to start: {ready!r}", file=sys.stderr)
+            return 1
+        print(f"server READY in {time.perf_counter()-t0:.1f}s "
+              f"(includes warmup execute)")
+
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(sock_path)
+        (hlen,) = struct.unpack("<I", _recv_exact(conn, 4))
+        hello = json.loads(_recv_exact(conn, hlen))
+        if hello.get("proto") != "pjrt-serve-socket-1":
+            print(f"unexpected hello: {hello}", file=sys.stderr)
+            return 1
+        out_shape = tuple(hello["out_shape"])
+        in_bytes = int(hello["in_bytes"])
+        assert in_bytes == sample.nbytes, (in_bytes, sample.nbytes)
+        print(f"hello: in {hello['in_shape']} -> out {list(out_shape)} "
+              f"({in_bytes} B in, {hello['out_bytes']} B out)")
+
+        rng = np.random.default_rng(args.seed)
+        n_img = int(np.prod(sample.shape[:-3]))
+        reqs = [sample if i == 0 else
+                rng.normal(size=sample.shape).astype(np.float32)
+                for i in range(args.requests)]
+
+        def send(x):
+            conn.sendall(struct.pack("<I", x.nbytes))
+            conn.sendall(np.ascontiguousarray(x).tobytes())
+
+        def check(i, payload):
+            y = np.frombuffer(payload, np.float32).reshape(out_shape)
+            if i == 0:
+                d = float(np.abs(y - expected).max())
+                print(f"request 0 parity vs expected_logits: "
+                      f"max|diff|={d:.3e}")
+                if d != 0.0:
+                    print("PARITY MISMATCH", file=sys.stderr)
+                    raise SystemExit(1)
+            return y
+
+        if args.pipeline:
+            # Keep ≤2 requests in flight (the server's pipeline depth —
+            # and with large tensors, writing everything up front could
+            # deadlock on full socket buffers in both directions).
+            t = time.perf_counter()
+            in_flight = 0
+            next_send = 0
+            for i in range(args.requests):
+                while in_flight < 2 and next_send < args.requests:
+                    send(reqs[next_send])
+                    next_send += 1
+                    in_flight += 1
+                status, payload = _recv_response(conn)
+                in_flight -= 1
+                if status != 0:
+                    print(f"request {i}: ERR {payload.decode()}",
+                          file=sys.stderr)
+                    return 1
+                check(i, payload)
+            wall = time.perf_counter() - t
+            total = n_img * args.requests
+            print(f"pipelined(socket): {args.requests} requests in "
+                  f"{wall:.3f}s -> {wall / args.requests * 1e3:.0f} "
+                  f"ms/request, {total / wall:,.0f} img/s aggregate "
+                  f"(zero file IO)")
+            return 0
+
+        lat = []
+        for i in range(args.requests):
+            t = time.perf_counter()
+            send(reqs[i])
+            status, payload = _recv_response(conn)
+            lat.append(time.perf_counter() - t)
+            if status != 0:
+                print(f"request {i}: ERR {payload.decode()}", file=sys.stderr)
+                return 1
+            y = check(i, payload)
+            print(f"request {i}: OK ({lat[-1]*1e3:.1f} ms round trip, "
+                  f"logits {y.shape})")
+        med = sorted(lat)[len(lat) // 2]
+        print(f"median client-side round trip: {med*1e3:.1f} ms "
+              f"({n_img/med:,.0f} img/s, zero file IO)")
+        return 0
+    finally:
+        try:
+            if conn is not None:
+                conn.sendall(struct.pack("<I", 0xFFFFFFFF))  # shutdown
+                conn.close()
+            proc.wait(timeout=30)
+        except Exception:
+            proc.kill()
 
 
 def main(argv=None):
@@ -42,6 +175,12 @@ def main(argv=None):
                         "measures aggregate throughput instead of "
                         "per-request latency")
     p.add_argument("--binary", default=str(ROOT / "native" / "pjrt_serve"))
+    p.add_argument("--plugin", default=None,
+                   help="PJRT plugin .so for the server (default: the "
+                        "server's own default; native/mock_pjrt_plugin.so "
+                        "for hermetic CPU runs)")
+    p.add_argument("--transport", choices=["files", "socket"],
+                   default="files")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--startup-timeout", type=float, default=900.0,
                    help="first TPU contact can stall minutes (axon band)")
@@ -51,9 +190,15 @@ def main(argv=None):
     sample = np.load(art / "sample_input.npy")
     expected = np.load(art / "expected_logits.npy")
 
+    if args.transport == "socket":
+        return run_socket(args, sample, expected)
+
+    cmd = [args.binary, str(art), "--serve",
+           "--deadline", str(args.startup_timeout)]
+    if args.plugin:
+        cmd += ["--plugin", args.plugin]
     proc = subprocess.Popen(
-        [args.binary, str(art), "--serve",
-         "--deadline", str(args.startup_timeout)],
+        cmd,
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, bufsize=1,
     )
     try:
