@@ -29,7 +29,10 @@
 // Build: `make -C native` (uses the PJRT C API header vendored by the
 // installed tensorflow package; the header is a self-contained C file).
 
+#include <arpa/inet.h>
 #include <dlfcn.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
 #include <poll.h>
 #include <sys/socket.h>
 #include <sys/un.h>
@@ -574,6 +577,32 @@ int listen_unix(const std::string& path) {
   return fd;
 }
 
+// "tcp:HOST:PORT" — network serving; same frame protocol as AF_UNIX.
+int listen_tcp(const std::string& spec) {
+  size_t colon = spec.rfind(':');
+  if (colon == std::string::npos || colon == 0)
+    die("--listen tcp spec must be tcp:HOST:PORT, got tcp:" + spec);
+  std::string host = spec.substr(0, colon);
+  int port = std::atoi(spec.c_str() + colon + 1);
+  if (port <= 0 || port > 65535) die("--listen: bad port in tcp:" + spec);
+  int fd = socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) die(std::string("socket: ") + std::strerror(errno));
+  int one = 1;
+  setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof one);
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof one);
+  sockaddr_in addr;
+  std::memset(&addr, 0, sizeof addr);
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (inet_pton(AF_INET, host.c_str(), &addr.sin_addr) != 1)
+    die("--listen: bad IPv4 host in tcp:" + spec);
+  if (bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr) != 0)
+    die("bind tcp:" + spec + ": " + std::strerror(errno));
+  if (listen(fd, 8) != 0)
+    die(std::string("listen: ") + std::strerror(errno));
+  return fd;
+}
+
 bool fd_has_bytes(int fd) {
   struct pollfd pfd;
   pfd.fd = fd;
@@ -888,7 +917,8 @@ int main(int argc, char** argv) {
   }
 
   if (!listen_path.empty()) {
-    // Socket request loop: raw f32 tensor bytes over an AF_UNIX stream —
+    // Socket request loop: raw f32 tensor bytes over a stream socket —
+    // AF_UNIX (`--listen /path/sock`) or TCP (`--listen tcp:HOST:PORT`) —
     // no temp files, no per-request npy parsing (shapes are pinned by the
     // artifact and announced once per connection in a hello frame).
     //
@@ -924,7 +954,9 @@ int main(int argc, char** argv) {
     hello += "], \"in_bytes\": " + std::to_string(in_bytes) +
              ", \"out_bytes\": " + std::to_string(y.data.size()) + "}";
 
-    int lfd = listen_unix(listen_path);
+    bool is_tcp = listen_path.rfind("tcp:", 0) == 0;
+    int lfd = is_tcp ? listen_tcp(listen_path.substr(4))
+                     : listen_unix(listen_path);
     logf("listen: ready on %s (in %zu B, out %zu B per request)",
          listen_path.c_str(), in_bytes, y.data.size());
     std::printf("READY %s\n", listen_path.c_str());
@@ -1012,7 +1044,7 @@ int main(int argc, char** argv) {
       logf("listen: connection closed%s", shutdown ? " (shutdown)" : "");
     }
     close(lfd);
-    unlink(listen_path.c_str());
+    if (!is_tcp) unlink(listen_path.c_str());
     logf("listen: loop ended");
   }
 

@@ -307,3 +307,20 @@ def test_serve_client_socket_end_to_end(binary, mock_artifact, extra):
     assert "max|diff|=0.000e+00" in p.stdout
     if extra:
         assert "pipelined(socket)" in p.stdout
+
+
+def test_serve_client_tcp_end_to_end(binary, mock_artifact):
+    # Same frame protocol over TCP (--listen tcp:HOST:PORT) — the network
+    # deployment path. Pick a free port by binding port 0 first.
+    probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    p = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "serve_client.py"),
+         "--artifact", str(mock_artifact), "--transport", "socket",
+         "--listen-addr", f"tcp:127.0.0.1:{port}",
+         "--plugin", str(MOCK_PLUGIN), "--requests", "4"],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "max|diff|=0.000e+00" in p.stdout

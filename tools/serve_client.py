@@ -59,9 +59,11 @@ def _recv_response(conn):
 
 
 def run_socket(args, sample, expected):
-    """Drive the server's --listen unix-socket transport."""
-    sock_dir = tempfile.mkdtemp(prefix="pjrt_serve_sock_")
-    sock_path = f"{sock_dir}/serve.sock"
+    """Drive the server's --listen socket transport (unix or tcp)."""
+    sock_path = args.listen_addr
+    if sock_path is None:
+        sock_dir = tempfile.mkdtemp(prefix="pjrt_serve_sock_")
+        sock_path = f"{sock_dir}/serve.sock"
     cmd = [args.binary, args.artifact, "--listen", sock_path,
            "--deadline", str(args.startup_timeout)]
     if args.plugin:
@@ -77,8 +79,14 @@ def run_socket(args, sample, expected):
         print(f"server READY in {time.perf_counter()-t0:.1f}s "
               f"(includes warmup execute)")
 
-        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        conn.connect(sock_path)
+        if sock_path.startswith("tcp:"):
+            host, port = sock_path[4:].rsplit(":", 1)
+            conn = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            conn.connect((host, int(port)))
+        else:
+            conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            conn.connect(sock_path)
         (hlen,) = struct.unpack("<I", _recv_exact(conn, 4))
         hello = json.loads(_recv_exact(conn, hlen))
         if hello.get("proto") != "pjrt-serve-socket-1":
@@ -181,6 +189,10 @@ def main(argv=None):
                         "for hermetic CPU runs)")
     p.add_argument("--transport", choices=["files", "socket"],
                    default="files")
+    p.add_argument("--listen-addr", default=None,
+                   help="socket transport address: a unix path (default: "
+                        "auto tmpdir) or tcp:HOST:PORT for network "
+                        "serving")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--startup-timeout", type=float, default=900.0,
                    help="first TPU contact can stall minutes (axon band)")
