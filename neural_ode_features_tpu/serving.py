@@ -1,0 +1,145 @@
+"""Client library for the native serving host's socket transport.
+
+``native/pjrt_serve --listen <addr>`` serves an AOT-compiled model over a
+stream socket (AF_UNIX path or ``tcp:HOST:PORT``) with a tiny framed
+protocol — this module is the Python side of that wire format, so an
+application can embed inference against the native host without shelling
+out to ``tools/serve_client.py`` (which itself builds on this module).
+
+Protocol (little-endian; authoritative comment: native/pjrt_serve.cc,
+socket request loop):
+
+* hello (server→client, once per connection):
+  ``u32 len`` + JSON ``{proto, dtype, in_shape, out_shape, in_bytes,
+  out_bytes}``.
+* request (client→server): ``u32 len`` + payload.  ``len == in_bytes``
+  carries a raw row-major f32 tensor; ``len == 0`` closes the connection;
+  ``len == 0xFFFFFFFF`` asks the server to shut down.
+* response (server→client): ``u8 status`` + ``u32 len`` + payload.
+  Status 0 → payload is the raw row-major f32 output tensor; status 1 →
+  payload is an error message (the stream stays usable).
+
+The server pipelines streamed requests at depth 2 (request *i* computes on
+the chip while the host stages *i+1*); :meth:`SocketClient.infer_stream`
+exploits that by keeping two requests in flight.
+
+reference: none — SURVEY.md §2.3 (the reference ships no serving layer;
+the native host and this client EXCEED parity).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+from typing import Iterable, Iterator
+
+import numpy as np
+
+__all__ = ["SocketClient", "ServeError", "SHUTDOWN_FRAME"]
+
+SHUTDOWN_FRAME = 0xFFFFFFFF
+
+
+class ServeError(RuntimeError):
+    """Status-1 response from the serving host (protocol-level error)."""
+
+
+def _connect(address: str) -> socket.socket:
+    if address.startswith("tcp:"):
+        host, port = address[4:].rsplit(":", 1)
+        conn = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        conn.connect((host, int(port)))
+    else:
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(address)
+    return conn
+
+
+class SocketClient:
+    """One connection to a ``pjrt_serve --listen`` host.
+
+    >>> client = SocketClient("/tmp/serve.sock")      # or "tcp:host:port"
+    >>> y = client.infer(x)                            # one round trip
+    >>> for y in client.infer_stream(batches): ...     # depth-2 pipelined
+    >>> client.close()                                 # or shutdown_server=True
+    """
+
+    def __init__(self, address: str):
+        self.address = address
+        self._conn = _connect(address)
+        (hlen,) = struct.unpack("<I", self._recv(4))
+        self.hello = json.loads(self._recv(hlen))
+        if self.hello.get("proto") != "pjrt-serve-socket-1":
+            raise ServeError(f"unexpected hello: {self.hello}")
+        self.in_shape = tuple(self.hello["in_shape"])
+        self.out_shape = tuple(self.hello["out_shape"])
+        self.in_bytes = int(self.hello["in_bytes"])
+
+    # -- wire helpers ---------------------------------------------------------
+    def _recv(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self._conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed the socket mid-frame")
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def _send_request(self, x: np.ndarray) -> None:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.shape != self.in_shape:
+            raise ValueError(
+                f"input shape {x.shape} != artifact shape {self.in_shape}")
+        self._conn.sendall(struct.pack("<I", x.nbytes))
+        self._conn.sendall(x.tobytes())
+
+    def _recv_response(self) -> np.ndarray:
+        status = self._recv(1)[0]
+        (length,) = struct.unpack("<I", self._recv(4))
+        payload = self._recv(length)
+        if status != 0:
+            raise ServeError(payload.decode(errors="replace"))
+        return np.frombuffer(payload, np.float32).reshape(self.out_shape)
+
+    # -- public API -----------------------------------------------------------
+    def infer(self, x: np.ndarray) -> np.ndarray:
+        """One request, one response (client-side round trip)."""
+        self._send_request(x)
+        return self._recv_response()
+
+    def infer_stream(self, xs: Iterable[np.ndarray],
+                     depth: int = 2) -> Iterator[np.ndarray]:
+        """Yield outputs in request order, keeping ``depth`` requests in
+        flight (2 = the server's pipeline depth; the chip computes request
+        *i* while the host stages *i+1*).  Bounded in-flight depth also
+        avoids the both-buffers-full deadlock a fire-everything writer
+        would risk with large tensors."""
+        it = iter(xs)
+        in_flight = 0
+        while True:
+            while in_flight < depth:
+                try:
+                    self._send_request(next(it))
+                except StopIteration:
+                    break
+                in_flight += 1
+            if in_flight == 0:
+                return
+            yield self._recv_response()
+            in_flight -= 1
+
+    def close(self, shutdown_server: bool = False) -> None:
+        try:
+            frame = SHUTDOWN_FRAME if shutdown_server else 0
+            self._conn.sendall(struct.pack("<I", frame))
+        except OSError:
+            pass
+        self._conn.close()
+
+    def __enter__(self) -> "SocketClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -309,6 +309,34 @@ def test_serve_client_socket_end_to_end(binary, mock_artifact, extra):
         assert "pipelined(socket)" in p.stdout
 
 
+def test_serving_library_client(socket_server):
+    # The public library API (neural_ode_features_tpu.serving.SocketClient):
+    # hello metadata, infer(), streamed infer_stream() order/values,
+    # ServeError on a bad input shape, clean server shutdown via close().
+    from neural_ode_features_tpu.serving import SocketClient
+
+    proc, sock_path = socket_server
+    with SocketClient(sock_path) as client:
+        assert client.in_shape == IN_SHAPE
+        assert client.out_shape == OUT_SHAPE
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=IN_SHAPE).astype(np.float32)
+        np.testing.assert_array_equal(client.infer(x), mock_logits(x))
+        with pytest.raises(ValueError, match="input shape"):
+            client.infer(np.zeros((2, 2), np.float32))
+        xs = [rng.normal(size=IN_SHAPE).astype(np.float32)
+              for _ in range(5)]
+        ys = list(client.infer_stream(xs))
+        assert len(ys) == 5
+        for xi, yi in zip(xs, ys):
+            np.testing.assert_array_equal(yi, mock_logits(xi))
+    # Context exit sent a close frame (not shutdown): server still alive.
+    client2 = SocketClient(sock_path)
+    np.testing.assert_array_equal(client2.infer(x), mock_logits(x))
+    client2.close(shutdown_server=True)
+    assert proc.wait(timeout=30) == 0
+
+
 def test_serve_client_tcp_end_to_end(binary, mock_artifact):
     # Same frame protocol over TCP (--listen tcp:HOST:PORT) — the network
     # deployment path. Pick a free port by binding port 0 first.

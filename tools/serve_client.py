@@ -27,9 +27,6 @@ reference: none — SURVEY.md §2.3 (the reference ships no serving layer).
 from __future__ import annotations
 
 import argparse
-import json
-import socket
-import struct
 import subprocess
 import sys
 import tempfile
@@ -39,27 +36,14 @@ from pathlib import Path
 import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
-
-def _recv_exact(conn, n):
-    buf = bytearray()
-    while len(buf) < n:
-        chunk = conn.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("server closed the socket mid-frame")
-        buf.extend(chunk)
-    return bytes(buf)
-
-
-def _recv_response(conn):
-    status = _recv_exact(conn, 1)[0]
-    (length,) = struct.unpack("<I", _recv_exact(conn, 4))
-    payload = _recv_exact(conn, length)
-    return status, payload
+from neural_ode_features_tpu.serving import ServeError, SocketClient  # noqa: E402
 
 
 def run_socket(args, sample, expected):
-    """Drive the server's --listen socket transport (unix or tcp)."""
+    """Drive the server's --listen socket transport (unix or tcp) through
+    the library client (neural_ode_features_tpu.serving.SocketClient)."""
     sock_path = args.listen_addr
     if sock_path is None:
         sock_dir = tempfile.mkdtemp(prefix="pjrt_serve_sock_")
@@ -69,7 +53,7 @@ def run_socket(args, sample, expected):
     if args.plugin:
         cmd += ["--plugin", args.plugin]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, bufsize=1)
-    conn = None
+    client = None
     try:
         t0 = time.perf_counter()
         ready = proc.stdout.readline().strip()
@@ -79,24 +63,12 @@ def run_socket(args, sample, expected):
         print(f"server READY in {time.perf_counter()-t0:.1f}s "
               f"(includes warmup execute)")
 
-        if sock_path.startswith("tcp:"):
-            host, port = sock_path[4:].rsplit(":", 1)
-            conn = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            conn.connect((host, int(port)))
-        else:
-            conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            conn.connect(sock_path)
-        (hlen,) = struct.unpack("<I", _recv_exact(conn, 4))
-        hello = json.loads(_recv_exact(conn, hlen))
-        if hello.get("proto") != "pjrt-serve-socket-1":
-            print(f"unexpected hello: {hello}", file=sys.stderr)
-            return 1
-        out_shape = tuple(hello["out_shape"])
-        in_bytes = int(hello["in_bytes"])
-        assert in_bytes == sample.nbytes, (in_bytes, sample.nbytes)
-        print(f"hello: in {hello['in_shape']} -> out {list(out_shape)} "
-              f"({in_bytes} B in, {hello['out_bytes']} B out)")
+        client = SocketClient(sock_path)
+        assert client.in_bytes == sample.nbytes, (client.in_bytes,
+                                                  sample.nbytes)
+        print(f"hello: in {list(client.in_shape)} -> out "
+              f"{list(client.out_shape)} ({client.in_bytes} B in, "
+              f"{client.hello['out_bytes']} B out)")
 
         rng = np.random.default_rng(args.seed)
         n_img = int(np.prod(sample.shape[:-3]))
@@ -104,12 +76,7 @@ def run_socket(args, sample, expected):
                 rng.normal(size=sample.shape).astype(np.float32)
                 for i in range(args.requests)]
 
-        def send(x):
-            conn.sendall(struct.pack("<I", x.nbytes))
-            conn.sendall(np.ascontiguousarray(x).tobytes())
-
-        def check(i, payload):
-            y = np.frombuffer(payload, np.float32).reshape(out_shape)
+        def check(i, y):
             if i == 0:
                 d = float(np.abs(y - expected).max())
                 print(f"request 0 parity vs expected_logits: "
@@ -120,24 +87,13 @@ def run_socket(args, sample, expected):
             return y
 
         if args.pipeline:
-            # Keep ≤2 requests in flight (the server's pipeline depth —
-            # and with large tensors, writing everything up front could
-            # deadlock on full socket buffers in both directions).
             t = time.perf_counter()
-            in_flight = 0
-            next_send = 0
-            for i in range(args.requests):
-                while in_flight < 2 and next_send < args.requests:
-                    send(reqs[next_send])
-                    next_send += 1
-                    in_flight += 1
-                status, payload = _recv_response(conn)
-                in_flight -= 1
-                if status != 0:
-                    print(f"request {i}: ERR {payload.decode()}",
-                          file=sys.stderr)
-                    return 1
-                check(i, payload)
+            try:
+                for i, y in enumerate(client.infer_stream(reqs)):
+                    check(i, y)
+            except ServeError as e:
+                print(f"server error: {e}", file=sys.stderr)
+                return 1
             wall = time.perf_counter() - t
             total = n_img * args.requests
             print(f"pipelined(socket): {args.requests} requests in "
@@ -149,13 +105,13 @@ def run_socket(args, sample, expected):
         lat = []
         for i in range(args.requests):
             t = time.perf_counter()
-            send(reqs[i])
-            status, payload = _recv_response(conn)
-            lat.append(time.perf_counter() - t)
-            if status != 0:
-                print(f"request {i}: ERR {payload.decode()}", file=sys.stderr)
+            try:
+                y = client.infer(reqs[i])
+            except ServeError as e:
+                print(f"request {i}: ERR {e}", file=sys.stderr)
                 return 1
-            y = check(i, payload)
+            lat.append(time.perf_counter() - t)
+            check(i, y)
             print(f"request {i}: OK ({lat[-1]*1e3:.1f} ms round trip, "
                   f"logits {y.shape})")
         med = sorted(lat)[len(lat) // 2]
@@ -164,9 +120,8 @@ def run_socket(args, sample, expected):
         return 0
     finally:
         try:
-            if conn is not None:
-                conn.sendall(struct.pack("<I", 0xFFFFFFFF))  # shutdown
-                conn.close()
+            if client is not None:
+                client.close(shutdown_server=True)
             proc.wait(timeout=30)
         except Exception:
             proc.kill()
