@@ -44,6 +44,7 @@
 #include <cstdarg>
 #include <chrono>
 #include <deque>
+#include <memory>
 #include <thread>
 #include <cstdint>
 #include <cstdio>
@@ -519,20 +520,6 @@ void destroy_buffer(PJRT_Buffer* b) {
 // parsing per request (shapes are fixed by the artifact and announced in
 // a hello frame), and the same depth-2 pipelining as the stdin loop.
 
-bool read_full(int fd, void* buf, size_t n) {
-  char* p = static_cast<char*>(buf);
-  while (n > 0) {
-    ssize_t r = read(fd, p, n);
-    if (r <= 0) {
-      if (r < 0 && errno == EINTR) continue;
-      return false;  // EOF or hard error
-    }
-    p += r;
-    n -= static_cast<size_t>(r);
-  }
-  return true;
-}
-
 bool write_full(int fd, const void* buf, size_t n) {
   const char* p = static_cast<const char*>(buf);
   while (n > 0) {
@@ -940,6 +927,16 @@ int main(int argc, char** argv) {
     // Requests pipeline exactly like the stdin loop: while request i
     // computes on the chip, the host reads + uploads request i+1 if its
     // bytes are already queued on the socket (depth bounded at 2).
+    //
+    // CONCURRENT CLIENTS: the loop multiplexes every open connection with
+    // poll() — a single chip serializes the work anyway, so requests from
+    // all clients feed one global depth-2 pipeline, round-robin across
+    // connections, with responses delivered strictly in request order PER
+    // CONNECTION.  A slow or dead client never blocks the others: reads
+    // are poll-gated and a failed response write closes only that
+    // connection (its in-flight work is still retired so device buffers
+    // never leak).  The shutdown frame from any client stops the server
+    // after delivering everything already on the chip.
     g_watchdog_off = true;
     g_phase = "socket serve loop";
 
@@ -962,90 +959,227 @@ int main(int argc, char** argv) {
     std::printf("READY %s\n", listen_path.c_str());
     std::fflush(stdout);
 
-    Npy req;           // reused request holder (shape fixed)
+    Npy req;           // reused upload holder (shape fixed)
     req.descr = "<f4";
     req.shape = x.shape;
     req.data.resize(in_bytes);
 
+    // Per-connection state. Heap-allocated so Flight::conn pointers stay
+    // stable across vector growth; a Conn is only erased once it has no
+    // in-flight work.
+    struct Conn {
+      int fd;
+      std::vector<char> rbuf;     // received, not yet parsed
+      size_t discard = 0;         // bytes of a wrong-length frame to sink
+      std::string discard_err;    // ERR queued once the sink completes
+      struct Item {               // parsed work, strictly ordered
+        bool is_input;
+        std::vector<char> payload;  // input tensor bytes (is_input)
+        std::string err;            // error text (!is_input)
+      };
+      std::deque<Item> queue;
+      size_t in_flight = 0;       // this conn's executions on the chip
+      bool draining = false;      // saw close/shutdown/EOF: no more reads
+      bool open = true;           // fd still writable
+      explicit Conn(int f) : fd(f) {}
+    };
+    std::vector<std::unique_ptr<Conn>> conns;
+
+    struct Flight {               // chip FIFO entry (global order)
+      Conn* conn;
+      std::vector<PJRT_Buffer*> outs;
+      PJRT_Buffer* in;
+    };
+    std::deque<Flight> flights;
+
     bool shutdown = false;
-    while (!shutdown) {
-      int cfd = accept(lfd, nullptr, nullptr);
-      if (cfd < 0) {
-        if (errno == EINTR) continue;
-        logf("accept: %s — stopping", std::strerror(errno));
-        break;
-      }
-      uint32_t hlen = static_cast<uint32_t>(hello.size());
-      if (!write_full(cfd, &hlen, 4) ||
-          !write_full(cfd, hello.data(), hello.size())) {
-        close(cfd);
-        continue;
-      }
+    size_t rr = 0;  // round-robin dispatch cursor
 
-      struct InFlight {
-        std::vector<PJRT_Buffer*> outs;
-        PJRT_Buffer* in;
-      };
-      std::deque<InFlight> pending;
-      auto complete_oldest = [&]() -> bool {
-        InFlight p = std::move(pending.front());
-        pending.pop_front();
-        Npy ry = from_device(p.outs[0]);
-        for (PJRT_Buffer* b : p.outs) destroy_buffer(b);
-        destroy_buffer(p.in);
-        return send_frame(cfd, 0, ry.data.data(),
-                          static_cast<uint32_t>(ry.data.size()));
-      };
-      auto drain = [&]() -> bool {
-        while (!pending.empty())
-          if (!complete_oldest()) return false;
-        return true;
-      };
+    auto complete_oldest = [&] {
+      Flight f = std::move(flights.front());
+      flights.pop_front();
+      Npy ry = from_device(f.outs[0]);
+      for (PJRT_Buffer* b : f.outs) destroy_buffer(b);
+      destroy_buffer(f.in);
+      f.conn->in_flight--;
+      if (f.conn->open &&
+          !send_frame(f.conn->fd, 0, ry.data.data(),
+                      static_cast<uint32_t>(ry.data.size()))) {
+        f.conn->open = false;  // dead client; its other work still retires
+        f.conn->draining = true;
+      }
+    };
 
-      bool conn_open = true;
-      while (conn_open) {
-        // Client idle -> it is waiting on answers: flush in-flight work
-        // before blocking on the next frame (mirrors the stdin loop).
-        if (!pending.empty() && !fd_has_bytes(cfd)) {
-          if (!drain()) break;
+    // Turn a connection's raw bytes into ordered queue items. Never
+    // blocks: partial frames stay in rbuf until more bytes arrive.
+    auto parse = [&](Conn& c) {
+      size_t pos = 0;
+      while (!c.draining) {
+        if (c.discard > 0) {  // sinking a wrong-length frame's payload
+          size_t take = std::min(c.discard, c.rbuf.size() - pos);
+          pos += take;
+          c.discard -= take;
+          if (c.discard > 0) break;
+          c.queue.push_back({false, {}, c.discard_err});
           continue;
         }
+        if (c.rbuf.size() - pos < 4) break;
         uint32_t len;
-        if (!read_full(cfd, &len, 4)) break;  // EOF == close
-        if (len == 0) break;
+        std::memcpy(&len, c.rbuf.data() + pos, 4);
+        if (len == 0) {  // close frame: answer what's queued, then close
+          pos += 4;
+          c.draining = true;
+          break;
+        }
         if (len == 0xFFFFFFFFu) {
+          pos += 4;
+          c.draining = true;
           shutdown = true;
           break;
         }
         if (len != in_bytes) {
-          if (!drain()) break;  // answers stay in request order
+          pos += 4;
           if (len > 64u * 1024 * 1024) {
-            send_err(cfd, "frame length " + std::to_string(len) +
-                              " exceeds sanity cap; closing");
-            break;  // cannot trust the stream any more
-          }
-          std::vector<char> sink(len);
-          if (!read_full(cfd, sink.data(), len)) break;
-          if (!send_err(cfd, "expected " + std::to_string(in_bytes) +
-                                 " bytes (f32, artifact input shape), got " +
-                                 std::to_string(len)))
+            c.queue.push_back({false, {},
+                               "frame length " + std::to_string(len) +
+                                   " exceeds sanity cap; closing"});
+            c.draining = true;  // cannot trust the stream any more
             break;
+          }
+          c.discard = len;
+          c.discard_err = "expected " + std::to_string(in_bytes) +
+                          " bytes (f32, artifact input shape), got " +
+                          std::to_string(len);
           continue;
         }
-        if (!read_full(cfd, req.data.data(), in_bytes)) break;
-        PJRT_Buffer* rbuf = to_device(ctx, req);
-        pending.push_back({execute(ctx, rbuf, num_outputs), rbuf});
-        if (pending.size() >= 2 && !complete_oldest()) break;
+        if (c.rbuf.size() - pos < 4 + in_bytes) break;
+        Conn::Item it;
+        it.is_input = true;
+        it.payload.assign(c.rbuf.begin() + pos + 4,
+                          c.rbuf.begin() + pos + 4 +
+                              static_cast<long>(in_bytes));
+        pos += 4 + in_bytes;
+        c.queue.push_back(std::move(it));
       }
-      // Connection teardown: finish (and try to deliver) anything still
-      // in flight so device buffers never leak across connections.
-      drain();
-      close(cfd);
-      logf("listen: connection closed%s", shutdown ? " (shutdown)" : "");
+      c.rbuf.erase(c.rbuf.begin(), c.rbuf.begin() + static_cast<long>(pos));
+    };
+
+    // Feed the global pipeline, round-robin over connections; per-conn
+    // items run strictly in order (an ERR at the head waits for that
+    // conn's in-flight responses so answers never reorder).
+    auto try_dispatch = [&] {
+      size_t n = conns.size();
+      for (size_t k = 0; k < n && flights.size() < 2; k++) {
+        Conn& c = *conns[(rr + k) % n];
+        while (!c.queue.empty() && flights.size() < 2) {
+          Conn::Item& head = c.queue.front();
+          if (!head.is_input) {
+            if (c.in_flight > 0) break;
+            if (c.open && !send_err(c.fd, head.err)) {
+              c.open = false;
+              c.draining = true;
+            }
+            c.queue.pop_front();
+            continue;
+          }
+          std::memcpy(req.data.data(), head.payload.data(), in_bytes);
+          PJRT_Buffer* rbuf = to_device(ctx, req);
+          flights.push_back({&c, execute(ctx, rbuf, num_outputs), rbuf});
+          c.in_flight++;
+          c.queue.pop_front();
+        }
+      }
+      if (n > 0) rr = (rr + 1) % n;
+    };
+
+    // True when the loop can make progress without retiring chip work:
+    // a dispatchable head item, or bytes already readable on a socket.
+    auto can_progress_without_chip = [&] {
+      for (auto& up : conns) {
+        Conn& c = *up;
+        if (!c.queue.empty() &&
+            (c.queue.front().is_input ? flights.size() < 2
+                                      : c.in_flight == 0))
+          return true;
+        if (c.open && !c.draining && fd_has_bytes(c.fd)) return true;
+      }
+      return false;
+    };
+
+    while (true) {
+      if (shutdown) {
+        // Deliver everything already on the chip, then stop. Queued
+        // not-yet-dispatched requests are dropped (the shutdown frame is
+        // an administrative kill, not a graceful drain barrier).
+        while (!flights.empty()) complete_oldest();
+        break;
+      }
+
+      std::vector<pollfd> pfds;
+      pfds.push_back({lfd, POLLIN, 0});
+      std::vector<Conn*> polled;
+      bool have_work = !flights.empty();
+      for (auto& up : conns) {
+        if (up->open && !up->draining) {
+          pfds.push_back({up->fd, POLLIN, 0});
+          polled.push_back(up.get());
+        }
+        if (!up->queue.empty()) have_work = true;
+      }
+      int nready = poll(pfds.data(), pfds.size(), have_work ? 0 : -1);
+      if (nready < 0) {
+        if (errno == EINTR) continue;
+        logf("poll: %s — stopping", std::strerror(errno));
+        break;
+      }
+
+      if (pfds[0].revents & POLLIN) {
+        int cfd = accept(lfd, nullptr, nullptr);
+        if (cfd >= 0) {
+          uint32_t hlen = static_cast<uint32_t>(hello.size());
+          if (write_full(cfd, &hlen, 4) &&
+              write_full(cfd, hello.data(), hello.size())) {
+            conns.push_back(std::make_unique<Conn>(cfd));
+            logf("listen: client connected (%zu open)", conns.size());
+          } else {
+            close(cfd);
+          }
+        }
+      }
+
+      for (size_t i = 1; i < pfds.size(); i++) {
+        if (!(pfds[i].revents & (POLLIN | POLLHUP | POLLERR))) continue;
+        Conn& c = *polled[i - 1];
+        char buf[1 << 16];
+        ssize_t r = read(c.fd, buf, sizeof buf);
+        if (r > 0) {
+          c.rbuf.insert(c.rbuf.end(), buf, buf + r);
+          parse(c);
+        } else if (r == 0 || errno != EINTR) {
+          c.draining = true;  // EOF/error: answer what's queued, close
+        }
+      }
+
+      try_dispatch();
+      if (!flights.empty() &&
+          (flights.size() >= 2 || !can_progress_without_chip()))
+        complete_oldest();
+
+      for (size_t i = 0; i < conns.size();) {
+        Conn& c = *conns[i];
+        if (c.draining && c.queue.empty() && c.in_flight == 0) {
+          close(c.fd);
+          conns.erase(conns.begin() + static_cast<long>(i));
+          logf("listen: connection closed (%zu open)", conns.size());
+        } else {
+          i++;
+        }
+      }
     }
+    for (auto& up : conns) close(up->fd);
     close(lfd);
     if (!is_tcp) unlink(listen_path.c_str());
-    logf("listen: loop ended");
+    logf("listen: loop ended%s", shutdown ? " (shutdown)" : "");
   }
 
   for (PJRT_Buffer* b : outs) destroy_buffer(b);

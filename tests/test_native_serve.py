@@ -49,13 +49,31 @@ from export_model import write_mock_artifact  # noqa: E402
 def binary():
     if TF_INC is None or not TF_INC.exists():
         pytest.skip("tensorflow include tree (PJRT header) not available")
-    # -B: force the compile — a fresh checkout can give source and a stale
-    # binary equal mtimes, and this test must prove the CURRENT source
-    # builds.
-    subprocess.run(
-        ["make", "-B", "all", f"TF_INC={TF_INC}"], cwd=NATIVE, check=True,
-        capture_output=True, text=True, timeout=600,
-    )
+    # Build exactly once per SOURCE STATE, under a file lock: xdist runs
+    # this module-scoped fixture in every worker, and an unconditional
+    # `make -B` from worker B would rewrite pjrt_serve / the mock .so
+    # while worker A's server is executing/dlopening it (observed:
+    # ConnectionError from a server killed mid-test). A content-hash
+    # stamp replaces -B's job (mtime-equal staleness after a fresh
+    # checkout) without ever rebuilding concurrently.
+    import fcntl
+    import hashlib
+
+    srcs = sorted(NATIVE.glob("*.cc")) + [NATIVE / "Makefile"]
+    digest = hashlib.sha256(
+        b"".join(p.read_bytes() for p in srcs)).hexdigest()
+    stamp = NATIVE / ".build_stamp"
+    with open(NATIVE / ".build_lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        fresh = (stamp.exists() and stamp.read_text() == digest
+                 and (NATIVE / "pjrt_serve").exists()
+                 and (NATIVE / "mock_pjrt_plugin.so").exists())
+        if not fresh:
+            subprocess.run(
+                ["make", "-B", "all", f"TF_INC={TF_INC}"], cwd=NATIVE,
+                check=True, capture_output=True, text=True, timeout=600,
+            )
+            stamp.write_text(digest)
     return NATIVE / "pjrt_serve"
 
 
@@ -307,6 +325,39 @@ def test_serve_client_socket_end_to_end(binary, mock_artifact, extra):
     assert "max|diff|=0.000e+00" in p.stdout
     if extra:
         assert "pipelined(socket)" in p.stdout
+
+
+def test_socket_concurrent_clients(socket_server):
+    # Two clients interleave requests on one server: each must get its own
+    # answers, in its own request order, even when both stream (the global
+    # chip pipeline is shared; response routing is per connection).
+    from neural_ode_features_tpu.serving import SocketClient
+
+    proc, sock_path = socket_server
+    a = SocketClient(sock_path)
+    b = SocketClient(sock_path)
+    rng = np.random.default_rng(7)
+    xa = [rng.normal(size=IN_SHAPE).astype(np.float32) for _ in range(4)]
+    xb = [rng.normal(size=IN_SHAPE).astype(np.float32) for _ in range(4)]
+
+    # Interleave sends BEFORE reading any answer (both streams queued).
+    for i in range(4):
+        a._send_request(xa[i])
+        b._send_request(xb[i])
+    ya = [a._recv_response() for _ in range(4)]
+    yb = [b._recv_response() for _ in range(4)]
+    for x, y in zip(xa, ya):
+        np.testing.assert_array_equal(y, mock_logits(x))
+    for x, y in zip(xb, yb):
+        np.testing.assert_array_equal(y, mock_logits(x))
+
+    # One client vanishes mid-stream (no close frame): the other continues.
+    a._send_request(xa[0])
+    a._conn.close()
+    x = rng.normal(size=IN_SHAPE).astype(np.float32)
+    np.testing.assert_array_equal(b.infer(x), mock_logits(x))
+    b.close(shutdown_server=True)
+    assert proc.wait(timeout=30) == 0
 
 
 def test_serving_library_client(socket_server):
