@@ -314,7 +314,7 @@ def test_socket_pipelined_stream_in_order(socket_server):
     assert proc.wait(timeout=30) == 0
 
 
-@pytest.mark.parametrize("extra", [[], ["--pipeline"]])
+@pytest.mark.parametrize("extra", [[], ["--pipeline"], ["--clients", "3"]])
 def test_serve_client_socket_end_to_end(binary, mock_artifact, extra):
     p = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "serve_client.py"),
@@ -322,8 +322,12 @@ def test_serve_client_socket_end_to_end(binary, mock_artifact, extra):
          "--plugin", str(MOCK_PLUGIN), "--requests", "5", *extra],
         capture_output=True, text=True, timeout=120)
     assert p.returncode == 0, p.stdout + p.stderr
-    assert "max|diff|=0.000e+00" in p.stdout
-    if extra:
+    if "--clients" in extra:
+        # Concurrent mode checks parity internally on every connection.
+        assert "concurrent(socket): 3 clients" in p.stdout
+    else:
+        assert "max|diff|=0.000e+00" in p.stdout
+    if "--pipeline" in extra:
         assert "pipelined(socket)" in p.stdout
 
 

@@ -86,6 +86,55 @@ def run_socket(args, sample, expected):
                     raise SystemExit(1)
             return y
 
+        if args.clients > 1:
+            # Concurrent clients: N independent connections stream their
+            # own workloads simultaneously; the server multiplexes all of
+            # them into its single chip pipeline (poll() loop).  Each
+            # client's first request is the artifact sample, so parity is
+            # checked on EVERY connection's response routing.
+            import threading
+
+            barrier = threading.Barrier(args.clients)
+            errs: list[str] = []
+            walls = [0.0] * args.clients
+
+            def one_client(ci):
+                crng = np.random.default_rng(args.seed + 1000 + ci)
+                creqs = [sample if i == 0 else crng.normal(
+                    size=sample.shape).astype(np.float32)
+                    for i in range(args.requests)]
+                try:
+                    c = SocketClient(sock_path)
+                    barrier.wait(timeout=60)
+                    t = time.perf_counter()
+                    for i, y in enumerate(c.infer_stream(creqs)):
+                        if i == 0 and np.abs(y - expected).max() != 0.0:
+                            raise ServeError(
+                                f"client {ci}: request-0 parity mismatch")
+                    walls[ci] = time.perf_counter() - t
+                    c.close()
+                except Exception as e:  # surfaced after join
+                    errs.append(f"client {ci}: {e}")
+
+            threads = [threading.Thread(target=one_client, args=(ci,))
+                       for ci in range(args.clients)]
+            t = time.perf_counter()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.perf_counter() - t
+            if errs:
+                print("\n".join(errs), file=sys.stderr)
+                return 1
+            total = n_img * args.requests * args.clients
+            print(f"concurrent(socket): {args.clients} clients x "
+                  f"{args.requests} requests in {wall:.3f}s -> "
+                  f"{total / wall:,.0f} img/s aggregate, per-client walls "
+                  f"{[f'{w:.2f}s' for w in walls]} (parity checked on "
+                  f"every connection)")
+            return 0
+
         if args.pipeline:
             t = time.perf_counter()
             try:
@@ -144,6 +193,10 @@ def main(argv=None):
                         "for hermetic CPU runs)")
     p.add_argument("--transport", choices=["files", "socket"],
                    default="files")
+    p.add_argument("--clients", type=int, default=1,
+                   help="socket transport only: N concurrent connections, "
+                        "each streaming --requests requests; measures the "
+                        "server's multi-client aggregate throughput")
     p.add_argument("--listen-addr", default=None,
                    help="socket transport address: a unix path (default: "
                         "auto tmpdir) or tcp:HOST:PORT for network "
@@ -152,6 +205,8 @@ def main(argv=None):
     p.add_argument("--startup-timeout", type=float, default=900.0,
                    help="first TPU contact can stall minutes (axon band)")
     args = p.parse_args(argv)
+    if args.clients > 1 and args.transport != "socket":
+        p.error("--clients requires --transport socket")
 
     art = Path(args.artifact)
     sample = np.load(art / "sample_input.npy")
