@@ -95,6 +95,10 @@ def parse_args(argv=None):
                         "MFU scales when the MXU actually has work")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 dynamics (default f32 for NFE parity)")
+    p.add_argument("--controller", default="i", choices=["i", "pi"],
+                   help="step-size controller: 'i' (reference NFE parity, "
+                        "default) or 'pi' (proportional-integral — fewer "
+                        "rejections; fewer NFE on stiff dynamics)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas ODEfunc kernel")
     p.add_argument("--fused-rk", action="store_true",
@@ -383,6 +387,7 @@ def inner_main(argv=None):
                 cfg0,
                 tol=args.tol,
                 method=args.method,
+                controller=args.controller,
                 error_control="per_sample",
                 adjoint=False,
                 compute_dtype="bfloat16" if args.bf16 else cfg0.compute_dtype,
@@ -395,6 +400,7 @@ def inner_main(argv=None):
                 hidden=args.hidden,
                 tol=args.tol,
                 method=args.method,
+                controller=args.controller,
                 error_control="per_sample",
                 compute_dtype="bfloat16" if args.bf16 else "float32",
                 use_pallas=args.pallas,
@@ -727,6 +733,7 @@ def inner_main(argv=None):
         "pallas": pallas_active,
         "fused_rk": fused_rk_active,
         "method": args.method,
+        "controller": args.controller,
         "tflops": round(achieved / 1e12, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "cpu_ips": round(cpu_ips, 2) if cpu_ips else None,

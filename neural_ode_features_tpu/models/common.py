@@ -45,6 +45,7 @@ class ModelConfig:
     tol: float = 1e-3  # reference --tol: used for both rtol and atol
     method: str = "dopri5"
     error_control: str = "per_sample"
+    controller: str = "i"  # 'i' (reference parity) | 'pi' (fewer rejections)
     adjoint: bool = False
     adjoint_seminorm: bool = False  # backward error norm on (y, a_y) only
     adjoint_mode: str = "reintegrate"  # or 'interpolated' (dense forward)

@@ -135,6 +135,7 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
             method=cfg.method,
             error_control=cfg.error_control,
             max_steps=cfg.max_steps,
+            controller=cfg.controller,
             adjoint_seminorm=cfg.adjoint_seminorm,
             adjoint_mode=cfg.adjoint_mode,
             dense_max_steps=min(cfg.max_steps, 256),
@@ -171,6 +172,7 @@ def _solve(params, h0, ts, cfg: ModelConfig, *, adjoint: bool,
         error_control=cfg.error_control,
         max_steps=cfg.max_steps,
         fused_step=fused_step,
+        controller=cfg.controller,
     )
 
 

@@ -121,6 +121,7 @@ def _fwd(func, cfg, params, y0, ts, nfe_sink):
             method=kw.get("method", "dopri5"),
             error_control=kw.get("error_control", "global"),
             max_steps=kw.get("dense_max_steps", 256),
+            controller=kw.get("controller", "i"),
         )
         ys = y_at(ts)
         # Residuals must be array pytrees: store the DenseSolution record,
@@ -174,6 +175,9 @@ def _bwd(func, cfg, residuals, cotangents):
         error_control="global",
         unroll=kw.get("unroll", "while"),
         steps_per_interval=kw.get("steps_per_interval", 1),
+        # PI control applies to the reverse augmented solve too (it is just
+        # another adaptive tableau integration).
+        controller=kw.get("controller", "i"),
     )
     if kw.get("adjoint_seminorm") and not interpolated:
         # Seminorm adjoint (Kidger et al. 2020, arXiv:2009.09457): control
@@ -325,6 +329,7 @@ def odeint_adjoint(
     max_steps: int = 2**14,
     unroll: str = "while",
     steps_per_interval: int = 1,
+    controller: str = "i",
     adjoint_rtol: float | None = None,
     adjoint_atol: float | None = None,
     adjoint_max_steps: int | None = None,
@@ -338,7 +343,9 @@ def odeint_adjoint(
 
     ``func(params, t, y)`` must be a pure function of its explicit arguments.
     ``adjoint_{rtol,atol,max_steps}`` override the backward-solve tolerances
-    (default: same as forward).  ``adjoint_mode``: ``'reintegrate'`` (the
+    (default: same as forward).  ``controller`` ('i' | 'pi', see
+    :func:`~.odeint.odeint`) applies to the forward AND the reverse
+    augmented solve.  ``adjoint_mode``: ``'reintegrate'`` (the
     reference's O(1)-memory scheme) or ``'interpolated'`` (backward reads
     y(t) from the forward's dense solution — see module docstring;
     ``dense_max_steps`` bounds the forward's step/coefficient buffer).
@@ -404,6 +411,7 @@ def odeint_adjoint(
             max_steps=max_steps,
             unroll=unroll,
             steps_per_interval=steps_per_interval,
+            controller=controller,
             adjoint_rtol=adjoint_rtol,
             adjoint_atol=adjoint_atol,
             adjoint_max_steps=adjoint_max_steps,

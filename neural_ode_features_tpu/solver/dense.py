@@ -27,6 +27,7 @@ from .runge_kutta import (
     SolveStats,
     _error_ratio,
     _optimal_dt,
+    _optimal_dt_pi,
     _rk_attempt,
     _select_initial_step,
 )
@@ -98,6 +99,7 @@ def odeint_dense(
     error_control: str = "global",
     max_steps: int = 256,
     first_step: float | None = None,
+    controller: str = "i",
 ) -> tuple[Callable[[Any], Any], SolveStats]:
     """Solve over [t0, t1] once; return ``(y_at, stats)`` where ``y_at(t)``
     evaluates the continuous solution at any scalar-or-vector ``t`` in the
@@ -160,6 +162,7 @@ def odeint_dense(
         nreject=jnp.zeros((batch,), jnp.int32),
         done=jnp.zeros((batch,), bool),
         iters=jnp.zeros((), jnp.int32),
+        rprev=jnp.ones((batch,), dtype),
     )
 
     def body(c):
@@ -191,10 +194,16 @@ def odeint_dense(
                       c["coeffs"][slot, :, bidx, :])
         )
 
-        new_dt = jnp.where(
-            active, _optimal_dt(dt, ratio, accept, tableau.order, 0.9, 10.0, 0.2),
-            dt,
-        )
+        if controller == "pi":
+            proposed = _optimal_dt_pi(dt, ratio, c["rprev"], accept,
+                                      tableau.order, 0.9, 10.0, 0.2)
+            rprev = jnp.where(accept & active,
+                              jnp.maximum(ratio, 1e-4), c["rprev"])
+        else:
+            proposed = _optimal_dt(dt, ratio, accept, tableau.order,
+                                   0.9, 10.0, 0.2)
+            rprev = c["rprev"]
+        new_dt = jnp.where(active, proposed, dt)
         reached = accept & (direction * (t1_ - span[1]) >= 0.0)
         acc_col = accept[:, None]
         return dict(
@@ -208,6 +217,7 @@ def odeint_dense(
             nreject=c["nreject"] + (active & ~accept).astype(jnp.int32),
             done=c["done"] | reached,
             iters=c["iters"] + 1,
+            rprev=rprev,
         )
 
     final = lax.while_loop(

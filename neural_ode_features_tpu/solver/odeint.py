@@ -55,6 +55,7 @@ def odeint(
     error_mask: Any = None,
     max_order: int = 8,
     fused_step: Callable | None = None,
+    controller: str = "i",
 ) -> tuple[Any, SolveStats]:
     """Solve ``dy/dt = func(t, y)`` from ``y0`` over times ``ts``.
 
@@ -91,6 +92,13 @@ def odeint(
         tableau/tolerances and the flat layout (``error_control=
         'per_sample'`` keeps leaves' batch rows — the model layer is the
         intended caller).
+      controller: step-size controller for adaptive tableau methods —
+        ``'i'`` (integral, torchdiffeq/reference parity, default) or
+        ``'pi'`` (proportional-integral: smooth-NFE parity, far fewer
+        rejected steps, and fewer NFE on stiffness-limited dynamics; see
+        ``runge_kutta._optimal_dt_pi``).  ``'adams'`` and fixed-grid
+        methods accept only ``'i'`` (they have their own / no step
+        control).
 
     Returns:
       ys: pytree like ``y0`` with a new leading time axis ``T``.
@@ -127,6 +135,11 @@ def odeint(
         raise ValueError(
             "error_mask (seminorm control) only applies to adaptive methods;"
             f" {method!r} is fixed-grid"
+        )
+    if controller != "i" and method not in ADAPTIVE_TABLEAUS:
+        raise ValueError(
+            f"controller={controller!r} only applies to adaptive tableau "
+            f"methods ({tuple(ADAPTIVE_TABLEAUS)}), not {method!r}"
         )
 
     if error_control == "per_sample":
@@ -193,6 +206,7 @@ def odeint(
             unroll=unroll,
             error_mask=flat_mask,
             fused_step=fused_step,
+            controller=controller,
         )
     elif fused_step is not None:
         raise ValueError(

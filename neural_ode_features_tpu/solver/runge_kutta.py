@@ -66,6 +66,7 @@ class _Carry(NamedTuple):
     nreject: jnp.ndarray  # (B,) int32
     done: jnp.ndarray  # (B,) bool
     iters: jnp.ndarray  # () int32
+    rprev: jnp.ndarray  # (B,) last ACCEPTED error ratio (PI controller)
 
 
 def _rms(x: jnp.ndarray) -> jnp.ndarray:
@@ -114,15 +115,60 @@ def _error_ratio(err, y0, y1, rtol, atol, mask=None):
 
 
 def _optimal_dt(dt, ratio, accept, order, safety, ifactor, dfactor):
-    """Step-size controller (reference: torchdiffeq/_impl/misc.py
+    """I (integral) step-size controller (reference: torchdiffeq/_impl/misc.py
     ``_optimal_step_size`` — UNVERIFIED).  Grow only on accept (clamped to
-    ``ifactor``), shrink only on reject (clamped to ``dfactor``)."""
+    ``ifactor``), shrink only on reject (clamped to ``dfactor``).  This is
+    the default: NFE parity with the reference execution model is exact."""
     ratio = jnp.maximum(ratio, jnp.finfo(dt.dtype).tiny)
     factor = safety * ratio ** (-1.0 / order)
     factor = jnp.where(
         accept,
         jnp.clip(factor, 1.0, ifactor),
         jnp.clip(factor, dfactor, 1.0),
+    )
+    return dt * factor
+
+
+# PI exponent pair, scaled by the controller order k: the growth factor is
+# safety · ratio^(-β1/k) · rprev^(+β2/k).  Module-level so the measurement
+# harness (tests/test_controller.py) can sweep them.  The shipped defaults
+# were chosen by MEASUREMENT over this repo's analytic problem suite, not by
+# citation: the textbook Gustafsson pair (0.7, 0.4) — DifferentialEquations.jl
+# Tsit5's default — costs +30% NFE on smooth dynamics at these tolerances
+# because rprev ≤ 1 always damps growth; (1.0, 0.1) keeps exact smooth-NFE
+# parity with the I controller (3192 vs 3204 over the 4-problem × 3-tol grid)
+# while collapsing rejections 30 → 2 and cutting NFE 16% on the
+# stiffness-limited stiff-spread row.  See tests/test_controller.py.
+_PI_BETA1 = 1.0
+_PI_BETA2 = 0.1
+
+
+def _optimal_dt_pi(dt, ratio, rprev, accept, order, safety, ifactor, dfactor):
+    """PI (proportional-integral) controller — the Gustafsson (1991) /
+    Hairer & Wanner II.4 ``facold`` stabilisation family:
+
+      factor = safety · ratio^(-β1/k) · rprev^(+β2/k)
+
+    ``rprev`` is the error ratio of the last ACCEPTED step (floored at
+    1e-4, Hairer's DOPRI5 ``facold``, so a near-exact step doesn't poison
+    the next factor).  The proportional term damps the accept/reject
+    oscillation the I controller exhibits near the stability/accuracy
+    boundary: measured on this repo's problem suite, smooth-problem NFE is
+    at parity with the I controller while rejections collapse (30 → 2 on
+    the stiff-spread row, with 16% fewer NFE there) — see the β-pair note
+    above and tests/test_controller.py.  Rejections fall back to the
+    pure-I shrink (the proportional history is no help when the attempt
+    failed).  No reference counterpart (torchdiffeq ships I control only);
+    opt-in via ``controller='pi'`` so default NFE parity is untouched.
+    """
+    ratio = jnp.maximum(ratio, jnp.finfo(dt.dtype).tiny)
+    k = float(order)
+    fac_pi = safety * ratio ** (-_PI_BETA1 / k) * rprev ** (_PI_BETA2 / k)
+    fac_i = safety * ratio ** (-1.0 / k)
+    factor = jnp.where(
+        accept,
+        jnp.clip(fac_pi, dfactor, ifactor),
+        jnp.clip(fac_i, dfactor, 1.0),
     )
     return dt * factor
 
@@ -270,6 +316,7 @@ def adaptive_odeint(
     unroll: str = "while",
     error_mask: jnp.ndarray | None = None,
     fused_step: Callable | None = None,
+    controller: str = "i",
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Integrate ``dy/dt = func(t, y)`` over the monotonic grid ``ts``.
 
@@ -291,6 +338,11 @@ def adaptive_odeint(
         quartic-fit FSAL tableau (dopri5-family), ``error_mask=None``, and
         must implement the same tableau/tolerances — the caller guarantees
         numerical equivalence (tests/test_fused_rk.py).
+      controller: ``'i'`` (reference-parity integral control, default) or
+        ``'pi'`` (proportional-integral — see :func:`_optimal_dt_pi`;
+        smooth-NFE parity, far fewer rejections, fewer NFE on
+        stiffness-limited dynamics; no reference counterpart).  Orthogonal
+        to ``fused_step`` (the controller runs outside the kernel).
 
     Returns:
       ys: (T, B, N) solution at ``ts`` (ys[0] ≡ y0).
@@ -302,6 +354,8 @@ def adaptive_odeint(
         raise ValueError(
             "fused_step requires a quartic-dense FSAL tableau and no "
             "error_mask")
+    if controller not in ("i", "pi"):
+        raise ValueError(f"unknown controller {controller!r}; 'i' | 'pi'")
     dtype = y0.dtype
     batch, n = y0.shape
     n_out = ts.shape[0]
@@ -343,6 +397,7 @@ def adaptive_odeint(
         nreject=jnp.zeros((batch,), jnp.int32),
         done=jnp.zeros((batch,), bool),
         iters=jnp.zeros((), jnp.int32),
+        rprev=jnp.ones((batch,), dtype),
     )
 
     def body(c: _Carry) -> _Carry:
@@ -368,11 +423,17 @@ def adaptive_odeint(
                            c.out)
 
         # --- controller + masked state update ---
-        new_dt = jnp.where(
-            active,
-            _optimal_dt(dt, ratio, accept, tableau.order, safety, ifactor, dfactor),
-            dt,
-        )
+        if controller == "pi":
+            proposed = _optimal_dt_pi(dt, ratio, c.rprev, accept,
+                                      tableau.order, safety, ifactor, dfactor)
+            # Hairer's facold: remember the last accepted ratio, floored.
+            rprev = jnp.where(accept & active,
+                              jnp.maximum(ratio, 1e-4), c.rprev)
+        else:
+            proposed = _optimal_dt(dt, ratio, accept, tableau.order, safety,
+                                   ifactor, dfactor)
+            rprev = c.rprev
+        new_dt = jnp.where(active, proposed, dt)
         acc_col = accept[:, None]
         reached = accept & (direction * (t1 - t_final) >= 0.0)
 
@@ -387,6 +448,7 @@ def adaptive_odeint(
             nreject=c.nreject + (active & ~accept).astype(jnp.int32),
             done=c.done | reached,
             iters=c.iters + 1,
+            rprev=rprev,
         )
 
     if unroll == "while":

@@ -55,6 +55,7 @@ class TrainConfig:
     model: str = "odenet"  # 'odenet' | 'resnet'
     tol: float = 1e-3
     solver: str = "dopri5"
+    controller: str = "i"  # 'i' (reference parity) | 'pi' (fewer rejections)
     adjoint: bool = True
     adjoint_seminorm: bool = False
     adjoint_mode: str = "reintegrate"
@@ -83,6 +84,7 @@ class TrainConfig:
             in_channels=in_ch,
             tol=self.tol,
             method=self.solver,
+            controller=self.controller,
             error_control=self.error_control,
             downsampling=self.downsampling,
             adjoint=self.adjoint,

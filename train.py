@@ -29,6 +29,12 @@ def parse_args(argv=None):
     p.add_argument("--tol", type=float, default=1e-3,
                    help="rtol=atol for the adaptive solver")
     p.add_argument("--solver", default="dopri5")
+    p.add_argument("--controller", default="i", choices=["i", "pi"],
+                   help="adaptive step-size controller: 'i' (integral, "
+                        "reference NFE parity) or 'pi' (proportional-"
+                        "integral — far fewer rejected steps, fewer NFE on "
+                        "stiff dynamics; applies to forward AND adjoint "
+                        "solves)")
     p.add_argument("--adjoint", action="store_true", default=True,
                    help="adjoint gradients (default; O(1) memory)")
     p.add_argument("--no-adjoint", dest="adjoint", action="store_false",
@@ -125,6 +131,7 @@ def main(argv=None):
         model=args.model,
         tol=args.tol,
         solver=args.solver,
+        controller=args.controller,
         adjoint=args.adjoint,
         adjoint_seminorm=args.adjoint_seminorm,
         adjoint_mode=args.adjoint_mode,
@@ -156,6 +163,11 @@ def main(argv=None):
                   if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
                                "profile", "resume", "tensorboard",
                                "max_steps", "state_format", "seeds")}
+    if exp_params.get("controller") == "i":
+        # The default controller is dropped from the identity so run names
+        # predate the flag (old runs stay resumable); 'pi' changes the
+        # trajectory and is a real hyperparameter, so it stays.
+        del exp_params["controller"]
     if args.seeds is not None:
         return main_population(args, cfg, exp_params)
     exp = Experiment(args.runs_dir, exp_params).create()
