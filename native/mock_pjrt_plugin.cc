@@ -18,6 +18,7 @@
 //   shift=1.0
 //   layout=reversed        # device layout of the OUTPUT buffer:
 //                          # rowmajor | reversed (Fortran-order bytes)
+//   mode=rowwise           # optional: row-aligned compute (see below)
 //
 // Execute computes out[j] = scale * in[j % in_elems] + shift over the
 // flattened row-major input — deterministic, shape-generic, and cheap to
@@ -25,6 +26,13 @@
 // ToHostBuffer return Fortran-order bytes with minor_to_major=[0..r-1],
 // which forces the host's n-d un-permute path — the exact trap the real
 // axon plugin springs (ARCHITECTURE.md, PJRT layout notes).
+//
+// `mode=rowwise` switches to out[r, c] = scale * in[r, c % irow] + shift
+// (r along dim 0, irow = elements per input row): output row r depends
+// ONLY on input row r, like a real per-sample model.  That makes answers
+// invariant to how the serving host groups rows into device batches — the
+// property the coalescing (continuous-batching) tests rely on, which the
+// default flattened indexing deliberately lacks.
 //
 // reference: none — SURVEY.md §2.3 (the reference ships no native layer;
 // this is test infrastructure for the TPU build's own serving host).
@@ -55,6 +63,7 @@ struct MockProgram {
   float scale = 1.0f;
   float shift = 0.0f;
   bool reversed_layout = false;
+  bool rowwise = false;
 };
 
 struct PJRT_Client {
@@ -182,6 +191,8 @@ bool parse_program(const std::string& text, MockProgram& prog,
       prog.shift = std::stof(val);
     } else if (key == "layout") {
       prog.reversed_layout = (val == "reversed");
+    } else if (key == "mode") {
+      prog.rowwise = (val == "rowwise");
     }
   }
   if (prog.out_shape.empty()) {
@@ -235,8 +246,24 @@ PJRT_Error* execute(PJRT_LoadedExecutable_Execute_Args* a) {
     return err("mock execute: empty input");
   }
   out->host.resize(n_out);
-  for (size_t j = 0; j < n_out; j++)
-    out->host[j] = prog.scale * in->host[j % n_in] + prog.shift;
+  if (prog.rowwise && !out->dims.empty() && !in->dims.empty() &&
+      in->dims[0] > 0 && out->dims[0] > 0 &&
+      n_in % static_cast<size_t>(in->dims[0]) == 0 &&
+      n_out % static_cast<size_t>(out->dims[0]) == 0) {
+    // Row-aligned: output row r reads only input row r (per-sample model).
+    size_t in_rows = static_cast<size_t>(in->dims[0]);
+    size_t out_rows = static_cast<size_t>(out->dims[0]);
+    size_t irow = n_in / in_rows;
+    size_t orow = n_out / out_rows;
+    for (size_t r = 0; r < out_rows; r++)
+      for (size_t c = 0; c < orow; c++)
+        out->host[r * orow + c] =
+            prog.scale * in->host[(r % in_rows) * irow + (c % irow)] +
+            prog.shift;
+  } else {
+    for (size_t j = 0; j < n_out; j++)
+      out->host[j] = prog.scale * in->host[j % n_in] + prog.shift;
+  }
   size_t r = out->dims.size();
   out->minor_to_major.resize(r);
   for (size_t i = 0; i < r; i++)

@@ -941,6 +941,24 @@ int main(int argc, char** argv) {
     g_phase = "socket serve loop";
 
     const size_t in_bytes = x.data.size();
+    // Continuous batching (ragged requests): when input and output share a
+    // leading batch dim, a request may carry any 1..B rows (len = a multiple
+    // of row_bytes).  The host coalesces whatever is queued — across ALL
+    // connections — into one padded device batch per dispatch and answers
+    // each request with its own output-row slice.  Opportunistic only: a
+    // lone request dispatches immediately (zero added latency); coalescing
+    // happens exactly when requests are already waiting on the chip.
+    const long max_rows =
+        (!x.shape.empty() && !y.shape.empty() && x.shape[0] == y.shape[0] &&
+         x.shape[0] > 0 && in_bytes % static_cast<size_t>(x.shape[0]) == 0 &&
+         y.data.size() % static_cast<size_t>(x.shape[0]) == 0)
+            ? x.shape[0]
+            : 0;
+    const size_t row_bytes =
+        max_rows ? in_bytes / static_cast<size_t>(max_rows) : 0;
+    const size_t out_row_bytes =
+        max_rows ? y.data.size() / static_cast<size_t>(max_rows) : 0;
+
     std::string hello = "{\"proto\": \"pjrt-serve-socket-1\", \"dtype\": "
                         "\"<f4\", \"in_shape\": [";
     for (size_t i = 0; i < x.shape.size(); i++)
@@ -949,7 +967,12 @@ int main(int argc, char** argv) {
     for (size_t i = 0; i < y.shape.size(); i++)
       hello += (i ? "," : "") + std::to_string(y.shape[i]);
     hello += "], \"in_bytes\": " + std::to_string(in_bytes) +
-             ", \"out_bytes\": " + std::to_string(y.data.size()) + "}";
+             ", \"out_bytes\": " + std::to_string(y.data.size());
+    if (max_rows > 0)
+      hello += ", \"rows\": " + std::to_string(max_rows) +
+               ", \"row_bytes\": " + std::to_string(row_bytes) +
+               ", \"out_row_bytes\": " + std::to_string(out_row_bytes);
+    hello += "}";
 
     bool is_tcp = listen_path.rfind("tcp:", 0) == 0;
     int lfd = is_tcp ? listen_tcp(listen_path.substr(4))
@@ -976,6 +999,7 @@ int main(int argc, char** argv) {
         bool is_input;
         std::vector<char> payload;  // input tensor bytes (is_input)
         std::string err;            // error text (!is_input)
+        size_t rows = 0;            // rows in payload (0 = full tensor)
       };
       std::deque<Item> queue;
       size_t in_flight = 0;       // this conn's executions on the chip
@@ -985,8 +1009,12 @@ int main(int argc, char** argv) {
     };
     std::vector<std::unique_ptr<Conn>> conns;
 
-    struct Flight {               // chip FIFO entry (global order)
+    struct Seg {                  // one request's slice of a device batch
       Conn* conn;
+      size_t rows;                // 0 = the full tensor
+    };
+    struct Flight {               // chip FIFO entry (global order)
+      std::vector<Seg> segs;      // request order within the batch
       std::vector<PJRT_Buffer*> outs;
       PJRT_Buffer* in;
     };
@@ -994,6 +1022,7 @@ int main(int argc, char** argv) {
 
     bool shutdown = false;
     size_t rr = 0;  // round-robin dispatch cursor
+    size_t n_flights = 0, n_requests = 0, n_rows = 0;  // coalescing stats
 
     auto complete_oldest = [&] {
       Flight f = std::move(flights.front());
@@ -1001,12 +1030,17 @@ int main(int argc, char** argv) {
       Npy ry = from_device(f.outs[0]);
       for (PJRT_Buffer* b : f.outs) destroy_buffer(b);
       destroy_buffer(f.in);
-      f.conn->in_flight--;
-      if (f.conn->open &&
-          !send_frame(f.conn->fd, 0, ry.data.data(),
-                      static_cast<uint32_t>(ry.data.size()))) {
-        f.conn->open = false;  // dead client; its other work still retires
-        f.conn->draining = true;
+      size_t off = 0;  // output bytes consumed by earlier segments
+      for (Seg& s : f.segs) {
+        size_t nbytes = s.rows ? s.rows * out_row_bytes : ry.data.size();
+        s.conn->in_flight--;
+        if (s.conn->open &&
+            !send_frame(s.conn->fd, 0, ry.data.data() + off,
+                        static_cast<uint32_t>(nbytes))) {
+          s.conn->open = false;  // dead client; other work still retires
+          s.conn->draining = true;
+        }
+        off += nbytes;
       }
     };
 
@@ -1037,7 +1071,11 @@ int main(int argc, char** argv) {
           shutdown = true;
           break;
         }
-        if (len != in_bytes) {
+        // Acceptable request lengths: the full tensor, or (when the
+        // artifact has a batch dim) any whole number of rows up to it.
+        bool ragged = max_rows > 0 && len < in_bytes && len > 0 &&
+                      len % row_bytes == 0;
+        if (len != in_bytes && !ragged) {
           pos += 4;
           if (len > 64u * 1024 * 1024) {
             c.queue.push_back({false, {},
@@ -1047,18 +1085,23 @@ int main(int argc, char** argv) {
             break;
           }
           c.discard = len;
-          c.discard_err = "expected " + std::to_string(in_bytes) +
-                          " bytes (f32, artifact input shape), got " +
-                          std::to_string(len);
+          c.discard_err =
+              "expected " + std::to_string(in_bytes) + " bytes (f32, " +
+              "artifact input shape)" +
+              (max_rows > 0 ? " or a multiple of " +
+                                  std::to_string(row_bytes) + " (1.." +
+                                  std::to_string(max_rows) + " rows)"
+                            : "") +
+              ", got " + std::to_string(len);
           continue;
         }
-        if (c.rbuf.size() - pos < 4 + in_bytes) break;
+        if (c.rbuf.size() - pos < 4 + static_cast<size_t>(len)) break;
         Conn::Item it;
         it.is_input = true;
+        it.rows = ragged ? len / row_bytes : 0;
         it.payload.assign(c.rbuf.begin() + pos + 4,
-                          c.rbuf.begin() + pos + 4 +
-                              static_cast<long>(in_bytes));
-        pos += 4 + in_bytes;
+                          c.rbuf.begin() + pos + 4 + static_cast<long>(len));
+        pos += 4 + static_cast<size_t>(len);
         c.queue.push_back(std::move(it));
       }
       c.rbuf.erase(c.rbuf.begin(), c.rbuf.begin() + static_cast<long>(pos));
@@ -1066,30 +1109,58 @@ int main(int argc, char** argv) {
 
     // Feed the global pipeline, round-robin over connections; per-conn
     // items run strictly in order (an ERR at the head waits for that
-    // conn's in-flight responses so answers never reorder).
+    // conn's in-flight responses so answers never reorder).  Ragged
+    // requests COALESCE: each device batch is filled with as many queued
+    // requests (from any mix of connections) as fit, in dispatch order,
+    // padded with zeros; complete_oldest slices the output back out per
+    // request.  A full-tensor request occupies a batch alone by size.
     auto try_dispatch = [&] {
       size_t n = conns.size();
-      for (size_t k = 0; k < n && flights.size() < 2; k++) {
-        Conn& c = *conns[(rr + k) % n];
-        while (!c.queue.empty() && flights.size() < 2) {
-          Conn::Item& head = c.queue.front();
-          if (!head.is_input) {
-            if (c.in_flight > 0) break;
-            if (c.open && !send_err(c.fd, head.err)) {
-              c.open = false;
-              c.draining = true;
+      if (n == 0) return;
+      while (flights.size() < 2) {
+        std::vector<Seg> segs;
+        size_t used = 0;  // bytes staged into req.data so far
+        for (size_t k = 0; k < n; k++) {
+          Conn& c = *conns[(rr + k) % n];
+          bool staged_here = false;  // c contributes to THIS batch
+          while (!c.queue.empty()) {
+            Conn::Item& head = c.queue.front();
+            if (!head.is_input) {
+              // An ERR answer must not overtake this conn's earlier
+              // responses — neither dispatched ones nor rows staged into
+              // the batch being assembled right now.
+              if (c.in_flight > 0 || staged_here) break;
+              if (c.open && !send_err(c.fd, head.err)) {
+                c.open = false;
+                c.draining = true;
+              }
+              c.queue.pop_front();
+              continue;
             }
+            size_t need = head.payload.size();
+            if (used + need > in_bytes) break;  // no room in this batch
+            std::memcpy(req.data.data() + used, head.payload.data(), need);
+            used += need;
+            segs.push_back({&c, head.rows});
+            n_requests++;
+            n_rows += head.rows ? head.rows : static_cast<size_t>(max_rows);
+            c.in_flight++;
+            staged_here = true;
             c.queue.pop_front();
-            continue;
           }
-          std::memcpy(req.data.data(), head.payload.data(), in_bytes);
-          PJRT_Buffer* rbuf = to_device(ctx, req);
-          flights.push_back({&c, execute(ctx, rbuf, num_outputs), rbuf});
-          c.in_flight++;
-          c.queue.pop_front();
         }
+        if (segs.empty()) break;
+        if (used < in_bytes)  // padding rows: zeros (ignored on return)
+          std::memset(req.data.data() + used, 0, in_bytes - used);
+        if (segs.size() > 1)
+          logf("listen: coalesced %zu requests into one batch (%zu/%zu B)",
+               segs.size(), used, in_bytes);
+        PJRT_Buffer* rbuf = to_device(ctx, req);
+        flights.push_back(
+            {std::move(segs), execute(ctx, rbuf, num_outputs), rbuf});
+        n_flights++;
+        rr = (rr + 1) % n;
       }
-      if (n > 0) rr = (rr + 1) % n;
     };
 
     // True when the loop can make progress without retiring chip work:
@@ -1179,7 +1250,8 @@ int main(int argc, char** argv) {
     for (auto& up : conns) close(up->fd);
     close(lfd);
     if (!is_tcp) unlink(listen_path.c_str());
-    logf("listen: loop ended%s", shutdown ? " (shutdown)" : "");
+    logf("listen: loop ended%s — %zu requests (%zu rows) in %zu dispatches",
+         shutdown ? " (shutdown)" : "", n_requests, n_rows, n_flights);
   }
 
   for (PJRT_Buffer* b : outs) destroy_buffer(b);

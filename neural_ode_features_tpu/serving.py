@@ -14,14 +14,23 @@ socket request loop):
   out_bytes}``.
 * request (client→server): ``u32 len`` + payload.  ``len == in_bytes``
   carries a raw row-major f32 tensor; ``len == 0`` closes the connection;
-  ``len == 0xFFFFFFFF`` asks the server to shut down.
+  ``len == 0xFFFFFFFF`` asks the server to shut down.  When the hello
+  carries ``rows``/``row_bytes`` (artifact input and output share a batch
+  dim), ``len`` may also be any multiple of ``row_bytes`` up to
+  ``in_bytes`` — a RAGGED request of 1..B rows; the response then carries
+  exactly that many output rows.
 * response (server→client): ``u8 status`` + ``u32 len`` + payload.
   Status 0 → payload is the raw row-major f32 output tensor; status 1 →
   payload is an error message (the stream stays usable).
 
 The server pipelines streamed requests at depth 2 (request *i* computes on
 the chip while the host stages *i+1*); :meth:`SocketClient.infer_stream`
-exploits that by keeping two requests in flight.
+exploits that by keeping two requests in flight.  Ragged requests also
+COALESCE server-side (continuous batching): whatever is queued — across
+all connections — is packed into one padded device batch per dispatch, so
+many small clients share chip dispatches instead of each paying a full
+batch.  Coalescing is opportunistic: a lone request dispatches
+immediately, with zero added latency.
 
 reference: none — SURVEY.md §2.3 (the reference ships no serving layer;
 the native host and this client EXCEED parity).
@@ -76,6 +85,12 @@ class SocketClient:
         self.in_shape = tuple(self.hello["in_shape"])
         self.out_shape = tuple(self.hello["out_shape"])
         self.in_bytes = int(self.hello["in_bytes"])
+        #: max rows per ragged request; 0 = server accepts full tensors only
+        self.rows = int(self.hello.get("rows", 0))
+        # Output rows expected per in-flight request, in request order
+        # (None = the full tensor) — keeps responses reshapeable when
+        # ragged and full requests interleave on one connection.
+        self._pending_rows: list[int | None] = []
 
     # -- wire helpers ---------------------------------------------------------
     def _recv(self, n: int) -> bytes:
@@ -89,23 +104,41 @@ class SocketClient:
 
     def _send_request(self, x: np.ndarray) -> None:
         x = np.ascontiguousarray(x, dtype=np.float32)
-        if x.shape != self.in_shape:
+        if x.shape == self.in_shape:
+            rows = None  # full tensor
+        elif (self.rows and len(x.shape) == len(self.in_shape)
+              and x.shape[1:] == self.in_shape[1:]
+              and 1 <= x.shape[0] <= self.rows):
+            rows = int(x.shape[0])  # ragged: 1..B rows
+        else:
+            hint = (f" or (1..{self.rows},)+{self.in_shape[1:]}"
+                    if self.rows else "")
             raise ValueError(
-                f"input shape {x.shape} != artifact shape {self.in_shape}")
+                f"input shape {x.shape} != artifact shape "
+                f"{self.in_shape}{hint}")
         self._conn.sendall(struct.pack("<I", x.nbytes))
         self._conn.sendall(x.tobytes())
+        self._pending_rows.append(rows)
 
     def _recv_response(self) -> np.ndarray:
+        rows = self._pending_rows.pop(0) if self._pending_rows else None
         status = self._recv(1)[0]
         (length,) = struct.unpack("<I", self._recv(4))
         payload = self._recv(length)
         if status != 0:
             raise ServeError(payload.decode(errors="replace"))
-        return np.frombuffer(payload, np.float32).reshape(self.out_shape)
+        shape = self.out_shape if rows is None else (
+            (rows,) + self.out_shape[1:])
+        return np.frombuffer(payload, np.float32).reshape(shape)
 
     # -- public API -----------------------------------------------------------
     def infer(self, x: np.ndarray) -> np.ndarray:
-        """One request, one response (client-side round trip)."""
+        """One request, one response (client-side round trip).
+
+        ``x`` is either the artifact's full input shape or — when the
+        hello advertises ``rows`` — a ragged ``(r,) + in_shape[1:]`` with
+        ``1 <= r <= rows``; the answer then has ``(r,) + out_shape[1:]``.
+        """
         self._send_request(x)
         return self._recv_response()
 

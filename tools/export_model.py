@@ -197,17 +197,44 @@ def do_export_compiled(args):
                       "sha256": meta["sha256"]}))
 
 
+def mock_expected(x, out_shape, scale, shift, mode="flat"):
+    """Replicate the mock plugin's compute (native/mock_pjrt_plugin.cc).
+
+    ``mode="flat"``: ``out[j] = scale * in.ravel()[j % in.size] + shift``.
+    ``mode="rowwise"``: ``out[r, c] = scale * in[r % R, c % irow] + shift``
+    — output row r reads only input row r (grouping-invariant, the
+    property the serving host's coalescing tests need).
+    """
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    n_out = int(np.prod(out_shape))
+    if mode == "rowwise":
+        in_rows, out_rows = x.shape[0], out_shape[0]
+        irow = x.size // in_rows
+        orow = n_out // out_rows
+        xr = x.reshape(in_rows, irow)
+        r = np.arange(out_rows)[:, None] % in_rows
+        c = np.arange(orow)[None, :] % irow
+        y = scale * xr[r, c] + shift
+    else:
+        flat = x.ravel()
+        y = scale * flat[np.arange(n_out) % flat.size] + shift
+    return y.astype(np.float32).reshape(out_shape)
+
+
 def write_mock_artifact(out_dir, in_shape=(4, 3, 5), out_shape=(4, 10),
-                        scale=2.0, shift=1.0, layout="reversed", seed=0):
+                        scale=2.0, shift=1.0, layout="reversed", seed=0,
+                        mode="flat"):
     """Fabricate a ``.npexec`` artifact for ``native/mock_pjrt_plugin.so``.
 
     The mock plugin (native/mock_pjrt_plugin.cc) computes
-    ``out[j] = scale * in.ravel()[j % in.size] + shift`` and, with
-    ``layout="reversed"``, hands the output back in Fortran-order bytes —
-    exercising the serving host's device-layout un-permute path without a
-    TPU.  The artifact layout is identical to ``export-compiled``'s, so
-    every pjrt_serve mode (--selftest/--bench/--serve/--listen) runs
-    against it unchanged.
+    :func:`mock_expected` (``mode="flat"`` by default; ``"rowwise"`` for a
+    per-sample-aligned function) and, with ``layout="reversed"``, hands
+    the output back in Fortran-order bytes — exercising the serving
+    host's device-layout un-permute path without a TPU.  The artifact
+    layout is identical to ``export-compiled``'s, so every pjrt_serve
+    mode (--selftest/--bench/--serve/--listen) runs against it unchanged.
     """
     import numpy as np
 
@@ -220,13 +247,12 @@ def write_mock_artifact(out_dir, in_shape=(4, 3, 5), out_shape=(4, 10),
         f"shift={shift}\n"
         f"layout={layout}\n"
     )
+    if mode != "flat":
+        desc += f"mode={mode}\n"
     (out / "executable.bin").write_text(desc)
     rng = np.random.default_rng(seed)
     x = rng.normal(size=in_shape).astype(np.float32)
-    n_out = int(np.prod(out_shape))
-    flat = x.ravel()
-    y = (scale * flat[np.arange(n_out) % flat.size] + shift).astype(
-        np.float32).reshape(out_shape)
+    y = mock_expected(x, out_shape, scale, shift, mode)
     np.save(out / "sample_input.npy", np.ascontiguousarray(x))
     np.save(out / "expected_logits.npy", y)
     meta = {
@@ -238,6 +264,7 @@ def write_mock_artifact(out_dir, in_shape=(4, 3, 5), out_shape=(4, 10),
         "scale": scale,
         "shift": shift,
         "layout": layout,
+        "mode": mode,
     }
     (out / "meta.json").write_text(json.dumps(meta, indent=2))
     return out

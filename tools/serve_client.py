@@ -68,12 +68,29 @@ def run_socket(args, sample, expected):
                                                   sample.nbytes)
         print(f"hello: in {list(client.in_shape)} -> out "
               f"{list(client.out_shape)} ({client.in_bytes} B in, "
-              f"{client.hello['out_bytes']} B out)")
+              f"{client.hello['out_bytes']} B out"
+              + (f", ragged rows<={client.rows}" if client.rows else "")
+              + ")")
+
+        if args.rows:
+            if not client.rows or args.rows > client.rows:
+                print(f"--rows {args.rows}: server allows 1.."
+                      f"{client.rows or 0}", file=sys.stderr)
+                return 1
+            # Ragged requests: R rows each.  Per-sample models compute row
+            # r from input row r only, so request 0 (= the sample's first
+            # R rows) must reproduce the first R expected rows even when
+            # the server coalesces it with other requests and pads.
+            req_shape = (args.rows,) + tuple(sample.shape[1:])
+            expected = expected[:args.rows]
+            sample = sample[:args.rows]
+        else:
+            req_shape = sample.shape
 
         rng = np.random.default_rng(args.seed)
-        n_img = int(np.prod(sample.shape[:-3]))
+        n_img = int(np.prod(req_shape[:-3]))
         reqs = [sample if i == 0 else
-                rng.normal(size=sample.shape).astype(np.float32)
+                rng.normal(size=req_shape).astype(np.float32)
                 for i in range(args.requests)]
 
         def check(i, y):
@@ -197,6 +214,12 @@ def main(argv=None):
                    help="socket transport only: N concurrent connections, "
                         "each streaming --requests requests; measures the "
                         "server's multi-client aggregate throughput")
+    p.add_argument("--rows", type=int, default=0,
+                   help="socket transport only: send ragged requests of R "
+                        "rows (1..B) instead of full batches; the server "
+                        "coalesces queued ragged requests from all "
+                        "connections into shared device batches "
+                        "(continuous batching)")
     p.add_argument("--listen-addr", default=None,
                    help="socket transport address: a unix path (default: "
                         "auto tmpdir) or tcp:HOST:PORT for network "
@@ -207,6 +230,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.clients > 1 and args.transport != "socket":
         p.error("--clients requires --transport socket")
+    if args.rows and args.transport != "socket":
+        p.error("--rows requires --transport socket")
 
     art = Path(args.artifact)
     sample = np.load(art / "sample_input.npy")
