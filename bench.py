@@ -34,8 +34,10 @@ for ≥9 min):
 * **Timestamped stderr progress** at every stage so a killed run's tail is
   diagnosable.
 * **Variance discipline.**  Per-repetition throughputs are reported as
-  ``value`` (best-of, the round-1/2 headline semantics) plus
-  ``value_median`` and ``value_band`` [min, max].
+  ``value`` (MEDIAN of the repetitions — the robust headline the r2/r3
+  verdicts asked for) plus ``value_best`` and ``value_band`` [min, max].
+  Rounds 1-3 published best-of as ``value``; from round 4 the median IS
+  the headline and best lives in ``value_best``/``value_band``.
 * **Hardened CPU denominator.**  torch threads pinned (1-CPU box),
   ``cpu_ips`` is the best per-batch throughput (capacity estimate — the
   conservative choice for ``vs_baseline`` and far more stable under host
@@ -76,8 +78,8 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--repeats", type=int, default=6,
-                   help="timing repetitions; value=best-of, plus "
-                        "value_median / value_band over the repetitions "
+                   help="timing repetitions; value=median, plus "
+                        "value_best / value_band over the repetitions "
                         "(the chip/tunnel contention band was measured at "
                         "64-176k img/s for identical work)")
     p.add_argument("--warmup", type=int, default=None,
@@ -686,10 +688,13 @@ def inner_main(argv=None):
                           mean_nfe=round(mean_nfe, 1))
 
     rep_arr = np.asarray(rep_ips)
-    ips = float(rep_arr.max())
+    # Headline = MEDIAN of repeats (robust under the measured 2.8x
+    # contention band); best-of moves to value_best/value_band (r3 Weak #3).
+    ips = float(np.median(rep_arr))
+    ips_best = float(rep_arr.max())
     milestone("timed",
               value=round(ips, 2),
-              value_median=round(float(np.median(rep_arr)), 2),
+              value_best=round(ips_best, 2),
               value_band=[round(float(rep_arr.min()), 2),
                           round(float(rep_arr.max()), 2)],
               repeats=len(rep_ips),
@@ -722,7 +727,7 @@ def inner_main(argv=None):
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "value_median": round(float(np.median(rep_arr)), 2),
+        "value_best": round(ips_best, 2),
         "value_band": [round(float(rep_arr.min()), 2),
                        round(float(rep_arr.max()), 2)],
         "repeats": len(rep_ips),

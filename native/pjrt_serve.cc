@@ -41,6 +41,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cerrno>
+#include <csignal>
 #include <cstdarg>
 #include <chrono>
 #include <deque>
@@ -626,6 +627,12 @@ void start_watchdog(double deadline_s) {
 }
 
 int main(int argc, char** argv) {
+  // A client that disconnects abruptly (RST) while we are writing its
+  // response would otherwise raise SIGPIPE, whose default action kills the
+  // whole server — taking every OTHER connection down with it. Ignoring it
+  // turns the failed write into write()==-1/EPIPE, which write_full()
+  // already reports as false and the serve loop handles as a dead client.
+  std::signal(SIGPIPE, SIG_IGN);
   std::string artifact, plugin = "/opt/axon/libaxon_pjrt.so";
   std::string input_path, output_path, listen_path;
   bool selftest = false;
@@ -676,17 +683,28 @@ int main(int argc, char** argv) {
        blob.size() / 1e6, x.elems(),
        static_cast<long long>(x.shape.empty() ? 0 : x.shape[0]));
 
+  std::string meta_json;
+  {
+    std::ifstream mf(artifact + "/meta.json");
+    if (mf)
+      meta_json.assign(std::istreambuf_iterator<char>(mf),
+                       std::istreambuf_iterator<char>());
+  }
+  // Row-independence flag written at export time (ADVICE r3): the exporter
+  // PROBES whether output row r depends on input row r alone (rerunning the
+  // compiled fn with other rows perturbed). Continuous batching — padding
+  // and coalescing rows across clients — is only advertised when this is
+  // true; a shape heuristic alone cannot see batch-coupled computation
+  // (e.g. error_control='global', where every row's adaptive step sequence
+  // is a whole-batch reduction). Absent key = old artifact = not advertised.
+  const bool meta_rowwise =
+      meta_json.find("\"rowwise\": true") != std::string::npos;
   if (imgs == 0) {
     // Default images-per-request: dim 0 (batch), or chain*batch for a
     // chained-throughput artifact — meta.json records "chain": K.
     long chain = 1;
-    std::ifstream mf(artifact + "/meta.json");
-    if (mf) {
-      std::string meta((std::istreambuf_iterator<char>(mf)),
-                       std::istreambuf_iterator<char>());
-      size_t k = meta.find("\"chain\":");
-      if (k != std::string::npos) chain = std::atol(meta.c_str() + k + 8);
-    }
+    size_t k = meta_json.find("\"chain\":");
+    if (k != std::string::npos) chain = std::atol(meta_json.c_str() + k + 8);
     imgs = (chain > 1 && x.shape.size() >= 2) ? chain * x.shape[1]
                                               : x.shape[0];
   }
@@ -948,9 +966,12 @@ int main(int argc, char** argv) {
     // each request with its own output-row slice.  Opportunistic only: a
     // lone request dispatches immediately (zero added latency); coalescing
     // happens exactly when requests are already waiting on the chip.
+    // Gated on meta_rowwise (the exporter's measured row-independence
+    // flag), THEN the shape sanity checks — never shape alone (ADVICE r3).
     const long max_rows =
-        (!x.shape.empty() && !y.shape.empty() && x.shape[0] == y.shape[0] &&
-         x.shape[0] > 0 && in_bytes % static_cast<size_t>(x.shape[0]) == 0 &&
+        (meta_rowwise && !x.shape.empty() && !y.shape.empty() &&
+         x.shape[0] == y.shape[0] && x.shape[0] > 0 &&
+         in_bytes % static_cast<size_t>(x.shape[0]) == 0 &&
          y.data.size() % static_cast<size_t>(x.shape[0]) == 0)
             ? x.shape[0]
             : 0;

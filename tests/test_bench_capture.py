@@ -38,7 +38,9 @@ def test_complete_run_json_contract():
     # median + band + repeats + baseline diagnostics.
     assert result["unit"] == "img/s/chip"
     assert result["value"] > 0
-    assert result["value_band"][0] <= result["value_median"] <= result["value"]
+    # Round-4 semantics: value IS the median; best-of lives in value_best.
+    assert result["value_band"][0] <= result["value"] <= result["value_best"]
+    assert result["value_best"] == result["value_band"][1]
     assert result["repeats"] == 2
     assert not result.get("incomplete")
     assert result["cpu_ips"] and result["cpu_ips_spread"]

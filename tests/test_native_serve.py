@@ -392,6 +392,228 @@ def test_serving_library_client(socket_server):
     assert proc.wait(timeout=30) == 0
 
 
+# ---- continuous batching (ragged rowwise requests) -------------------------
+# ADVICE r3: the riskiest code in the socket loop — ragged parsing, batch
+# assembly, output slicing, ERR-vs-staged ordering — needs a mock artifact
+# whose in/out leading dims MATCH (the module-level one is 3 vs 4, which
+# disables the whole path).  mode='rowwise' makes the mock compute
+# per-sample-aligned so coalesced/padded answers are checkable per row.
+
+RIN_SHAPE, ROUT_SHAPE = (4, 6), (4, 10)
+
+
+def rowwise_logits(rows2d):
+    """Per-row expected output for the rowwise mock compute."""
+    from export_model import mock_expected
+
+    rows2d = np.asarray(rows2d, np.float32).reshape(-1, RIN_SHAPE[1])
+    n = rows2d.shape[0]
+    full = np.zeros(RIN_SHAPE, np.float32)
+    full[:n] = rows2d
+    y = mock_expected(full, ROUT_SHAPE, SCALE, SHIFT, mode="rowwise")
+    return y[:n]
+
+
+@pytest.fixture()
+def rowwise_server(binary, tmp_path):
+    art = tmp_path / "rowwise.npexec"
+    write_mock_artifact(art, in_shape=RIN_SHAPE, out_shape=ROUT_SHAPE,
+                        scale=SCALE, shift=SHIFT, layout="reversed",
+                        mode="rowwise")
+    sock = tmp_path / "r.sock"
+    proc = subprocess.Popen(
+        [str(binary), str(art), "--listen", str(sock),
+         "--plugin", str(MOCK_PLUGIN)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        bufsize=1)
+    ready = proc.stdout.readline().strip()
+    assert ready == f"READY {sock}", ready
+    yield proc, str(sock)
+    if proc.poll() is None:
+        proc.kill()
+        proc.wait(timeout=30)
+
+
+def test_rowwise_hello_advertises_rows(rowwise_server):
+    proc, sock_path = rowwise_server
+    conn, hello = _connect(sock_path)
+    assert hello["rows"] == RIN_SHAPE[0]
+    assert hello["row_bytes"] == RIN_SHAPE[1] * 4
+    assert hello["out_row_bytes"] == ROUT_SHAPE[1] * 4
+    conn.sendall(struct.pack("<I", 0xFFFFFFFF))
+    conn.close()
+    assert proc.wait(timeout=30) == 0
+
+
+def test_flat_artifact_never_advertises_rows(binary, tmp_path):
+    # The gating itself (ADVICE r3 medium #1): a FLAT-mode artifact whose
+    # in/out leading dims happen to match must NOT advertise 'rows' — its
+    # output rows read the flattened whole input, so coalescing/padding
+    # would silently corrupt real rows.  meta.json rowwise=false wins over
+    # the shape heuristic.
+    art = tmp_path / "flat_matching.npexec"
+    write_mock_artifact(art, in_shape=(4, 5), out_shape=(4, 10),
+                        scale=SCALE, shift=SHIFT, layout="reversed",
+                        mode="flat")
+    meta = json.loads((art / "meta.json").read_text())
+    assert meta["rowwise"] is False
+    sock = tmp_path / "f.sock"
+    proc = subprocess.Popen(
+        [str(binary), str(art), "--listen", str(sock),
+         "--plugin", str(MOCK_PLUGIN)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        bufsize=1)
+    try:
+        assert proc.stdout.readline().strip() == f"READY {sock}"
+        conn, hello = _connect(str(sock))
+        assert "rows" not in hello
+        # A row-sized (ragged) frame must be a protocol error here.
+        _send_req(conn, b"\x00" * (5 * 4))
+        status, payload = _recv_response(conn)
+        assert status == 1 and b"expected" in payload
+        # ...and the full tensor still works afterwards.
+        x = np.arange(20, dtype=np.float32).reshape(4, 5)
+        _send_req(conn, x.tobytes())
+        status, payload = _recv_response(conn)
+        assert status == 0
+        np.testing.assert_array_equal(
+            np.frombuffer(payload, np.float32).reshape(4, 10),
+            __import__("export_model").mock_expected(
+                x, (4, 10), SCALE, SHIFT, mode="flat"))
+        conn.sendall(struct.pack("<I", 0xFFFFFFFF))
+        conn.close()
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_ragged_single_connection(rowwise_server):
+    # 1..B-row requests + the full tensor + a bad length, one connection:
+    # per-request output slices, stream resync after the ERR, order kept.
+    proc, sock_path = rowwise_server
+    conn, hello = _connect(sock_path)
+    rng = np.random.default_rng(11)
+    row_bytes = hello["row_bytes"]
+
+    r2 = rng.normal(size=(2, RIN_SHAPE[1])).astype(np.float32)
+    r1 = rng.normal(size=(1, RIN_SHAPE[1])).astype(np.float32)
+    full = rng.normal(size=RIN_SHAPE).astype(np.float32)
+    _send_req(conn, r2.tobytes())           # 2 rows
+    _send_req(conn, b"\x00" * (row_bytes + 3))  # bad length (not row mult)
+    _send_req(conn, full.tobytes())         # full tensor
+    _send_req(conn, r1.tobytes())           # 1 row
+
+    status, payload = _recv_response(conn)
+    assert status == 0 and len(payload) == 2 * hello["out_row_bytes"]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.float32).reshape(2, ROUT_SHAPE[1]),
+        rowwise_logits(r2))
+    status, payload = _recv_response(conn)
+    assert status == 1 and b"rows" in payload  # the ragged hint in the ERR
+    status, payload = _recv_response(conn)
+    assert status == 0 and len(payload) == hello["out_bytes"]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.float32).reshape(ROUT_SHAPE),
+        rowwise_logits(full))
+    status, payload = _recv_response(conn)
+    assert status == 0 and len(payload) == hello["out_row_bytes"]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.float32).reshape(1, ROUT_SHAPE[1]),
+        rowwise_logits(r1))
+
+    conn.sendall(struct.pack("<I", 0xFFFFFFFF))
+    conn.close()
+    assert proc.wait(timeout=30) == 0
+
+
+def test_ragged_interleaved_connections(rowwise_server):
+    # Multiple connections interleave ragged, full-tensor, and bad-length
+    # frames BEFORE reading anything — the server may coalesce any mix of
+    # queued rows into padded device batches; every answer must still be
+    # the right rows, in per-connection request order.
+    proc, sock_path = rowwise_server
+    ca, ha = _connect(sock_path)
+    cb, hb = _connect(sock_path)
+    assert ha == hb
+    rng = np.random.default_rng(13)
+
+    a1 = rng.normal(size=(2, RIN_SHAPE[1])).astype(np.float32)
+    b1 = rng.normal(size=(3, RIN_SHAPE[1])).astype(np.float32)
+    a2 = rng.normal(size=RIN_SHAPE).astype(np.float32)      # full
+    b2 = b"\x00" * 10                                       # bad length
+    a3 = rng.normal(size=(1, RIN_SHAPE[1])).astype(np.float32)
+    b3 = rng.normal(size=(4, RIN_SHAPE[1])).astype(np.float32)  # ragged==B
+
+    _send_req(ca, a1.tobytes())
+    _send_req(cb, b1.tobytes())
+    _send_req(ca, a2.tobytes())
+    _send_req(cb, b2)
+    _send_req(ca, a3.tobytes())
+    _send_req(cb, b3.tobytes())
+
+    # Connection A: three OK answers, each its own rows.
+    for want in (a1, a2.reshape(-1, RIN_SHAPE[1]), a3):
+        status, payload = _recv_response(ca)
+        assert status == 0
+        got = np.frombuffer(payload, np.float32).reshape(-1, ROUT_SHAPE[1])
+        np.testing.assert_array_equal(got, rowwise_logits(want))
+    # Connection B: OK, ERR (kept in order), OK.
+    status, payload = _recv_response(cb)
+    assert status == 0
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.float32).reshape(-1, ROUT_SHAPE[1]),
+        rowwise_logits(b1))
+    status, payload = _recv_response(cb)
+    assert status == 1 and b"expected" in payload
+    status, payload = _recv_response(cb)
+    assert status == 0
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.float32).reshape(-1, ROUT_SHAPE[1]),
+        rowwise_logits(b3))
+
+    ca.sendall(struct.pack("<I", 0))
+    ca.close()
+    cb.sendall(struct.pack("<I", 0xFFFFFFFF))
+    cb.close()
+    assert proc.wait(timeout=30) == 0
+    # The server's exit summary proves requests actually coalesced: fewer
+    # dispatches than OK requests is expected but timing-dependent, so only
+    # assert the stats line exists and parses.
+    err = proc.stderr.read()
+    assert "requests" in err and "dispatches" in err
+
+
+def test_serve_client_rows_end_to_end(binary, tmp_path):
+    # --rows against a rowwise artifact: ragged requests, parity on the
+    # sample's first R rows.
+    art = tmp_path / "rowwise.npexec"
+    write_mock_artifact(art, in_shape=RIN_SHAPE, out_shape=ROUT_SHAPE,
+                        scale=SCALE, shift=SHIFT, layout="reversed",
+                        mode="rowwise")
+    p = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "serve_client.py"),
+         "--artifact", str(art), "--transport", "socket",
+         "--plugin", str(MOCK_PLUGIN), "--requests", "4", "--rows", "2"],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "max|diff|=0.000e+00" in p.stdout
+
+
+def test_serve_client_rows_fails_early_on_flat_artifact(binary,
+                                                        mock_artifact):
+    # ADVICE r3 low: --rows against a non-rowwise artifact must fail with
+    # a diagnostic pointing at the cause, not a bare PARITY MISMATCH.
+    p = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "serve_client.py"),
+         "--artifact", str(mock_artifact), "--transport", "socket",
+         "--plugin", str(MOCK_PLUGIN), "--requests", "2", "--rows", "1"],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 1
+    assert "rowwise" in p.stderr
+    assert "PARITY MISMATCH" not in p.stderr
+
+
 def test_serve_client_tcp_end_to_end(binary, mock_artifact):
     # Same frame protocol over TCP (--listen tcp:HOST:PORT) — the network
     # deployment path. Pick a free port by binding port 0 first.

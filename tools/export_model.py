@@ -169,6 +169,34 @@ def do_export_compiled(args):
     # the native runner's .npy reader requires C-order.
     logits = np.ascontiguousarray(jax.device_get(compiled(jnp.asarray(x))))
 
+    # Row-independence probe (ADVICE r3): the native host's continuous
+    # batching may only coalesce/zero-pad requests when output row r
+    # depends on input row r ALONE.  A shape heuristic cannot see batch
+    # coupling (e.g. error_control='global', where the adaptive step
+    # sequence is a whole-batch reduction), so measure it: rerun the
+    # compiled fn with the OTHER rows replaced by noise and require the
+    # probed rows' outputs bitwise-identical.  Conservative on any
+    # mismatch (rowwise=False -> the host serves full tensors only).
+    rowwise = False
+    if (len(shape) >= 1 and logits.ndim >= 1 and shape[0] == logits.shape[0]
+            and shape[0] >= 2):
+        rowwise = True
+        for probe_seed in (1, 2):
+            prng = np.random.default_rng(probe_seed)
+            keep = prng.random(shape[0]) < 0.5
+            if not keep.any() or keep.all():
+                keep[0] = True
+                keep[-1] = False
+            x2 = prng.normal(size=shape).astype(np.float32)
+            x2[keep] = x[keep]
+            y2 = np.ascontiguousarray(jax.device_get(compiled(jnp.asarray(x2))))
+            if not np.array_equal(y2[keep], logits[keep]):
+                rowwise = False
+                break
+    print(f"rowwise probe: {'independent' if rowwise else 'COUPLED'} "
+          f"(continuous batching {'enabled' if rowwise else 'disabled'})",
+          file=sys.stderr, flush=True)
+
     suffix = f"_c{args.chain}" if args.chain > 1 else ""
     out = Path(args.out
                or (Path(args.run) / f"native_b{args.batch}{suffix}.npexec"))
@@ -186,6 +214,7 @@ def do_export_compiled(args):
         "chain": args.chain,
         "outputs": [{"shape": list(logits.shape), "dtype": "float32"}],
         "model": model,
+        "rowwise": rowwise,
         "sha256": hashlib.sha256(blob).hexdigest(),
         "bytes": len(blob),
         "config": {k: v for k, v in vars(cfg).items()
@@ -265,6 +294,13 @@ def write_mock_artifact(out_dir, in_shape=(4, 3, 5), out_shape=(4, 10),
         "shift": shift,
         "layout": layout,
         "mode": mode,
+        # Row-independence flag (ADVICE r3): only the rowwise mock compute
+        # with ALIGNED leading dims has out-row-r = f(in-row-r); the serving
+        # host gates its continuous-batching advertisement on this, never on
+        # shape alone.
+        "rowwise": bool(mode == "rowwise" and len(in_shape) >= 1
+                        and len(out_shape) >= 1
+                        and in_shape[0] == out_shape[0]),
     }
     (out / "meta.json").write_text(json.dumps(meta, indent=2))
     return out

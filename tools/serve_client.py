@@ -73,9 +73,25 @@ def run_socket(args, sample, expected):
               + ")")
 
         if args.rows:
-            if not client.rows or args.rows > client.rows:
+            if not client.rows:
+                # The server advertises ragged rows only when the artifact's
+                # meta records rowwise=true (the exporter's measured
+                # row-independence flag — ADVICE r3). A flat / batch-coupled
+                # artifact (e.g. error_control='global', or the default
+                # mock) would return wrong numerics for coalesced rows, so
+                # fail early with the cause instead of a parity mismatch.
+                print(f"--rows {args.rows}: this artifact does not support "
+                      "ragged requests (meta.json rowwise != true — the "
+                      "model is not row-independent, or it predates the "
+                      "rowwise probe). For a mock, use "
+                      "write_mock_artifact(mode='rowwise') with matching "
+                      "in/out leading dims; for a real model, re-export "
+                      "with tools/export_model.py export-compiled.",
+                      file=sys.stderr)
+                return 1
+            if args.rows > client.rows:
                 print(f"--rows {args.rows}: server allows 1.."
-                      f"{client.rows or 0}", file=sys.stderr)
+                      f"{client.rows}", file=sys.stderr)
                 return 1
             # Ragged requests: R rows each.  Per-sample models compute row
             # r from input row r only, so request 0 (= the sample's first
