@@ -58,6 +58,63 @@ __all__ = ["odeint_adjoint", "set_backward_nfe_tap"]
 _BACKWARD_NFE_TAP = None
 
 
+def _sink_derived_from_traced_inputs(sink) -> bool:
+    """Best-effort trace-time misuse detection for ``nfe_sink`` (VERDICT r3
+    #7 / ADVICE r2 residue).
+
+    ``nfe_sink``'s VJP is deliberately non-linear (a fixed eval count,
+    independent of the incoming cotangent), so a sink COMPUTED from traced
+    values chain-rules that count into real gradients.  Under ``jit`` the
+    dependence is visible in the in-flight jaxpr frame: walk the equations
+    backwards from the sink's variable and report True iff it transitively
+    reads any traced function input (an *invar*).  ``stop_gradient`` cuts
+    the walk — gradient flow stops there, so upstream dependence is safe.
+
+    Detection scope (documented in :func:`odeint_adjoint`): only values
+    traced by the ENCLOSING jit frame are visible.  Under a bare
+    ``jax.grad`` (no jit) the sink's primal is concrete and derivation is
+    undetectable — that path stays a caller contract.  Any internal-API
+    drift degrades to "no check" rather than a crash.
+    """
+    try:
+        from jax._src.core import Literal, Var
+        from jax._src.interpreters.partial_eval import DynamicJaxprTracer
+    except Exception:  # pragma: no cover - jax internals moved
+        return False
+    t, hops = sink, 0
+    # Unwrap JVP/batch tracer layers (grad-of-jit, vmap-of-jit) down to the
+    # dynamic-jaxpr tracer that carries the frame.
+    while not isinstance(t, DynamicJaxprTracer) and hops < 8:
+        nxt = getattr(t, "primal", None)
+        if nxt is None or nxt is t:
+            return False
+        t, hops = nxt, hops + 1
+    if not isinstance(t, DynamicJaxprTracer):
+        return False
+    try:
+        frame = t._trace.frame
+        var = getattr(t, "val", None)
+        if var is None or isinstance(var, Literal):
+            return False
+        invars = set(frame.invars)
+        if var in invars:
+            # The sink IS a function argument — independent by construction
+            # (this is exactly the documented correct usage).
+            return False
+        active = {var}
+        for eqn in frame.get_eqns()[::-1]:
+            produced = set(eqn.outvars) & active
+            if not produced:
+                continue
+            active -= produced
+            if eqn.primitive.name == "stop_gradient":
+                continue
+            active.update(v for v in eqn.invars if isinstance(v, Var))
+        return bool(active & invars)
+    except Exception:  # pragma: no cover - jax internals moved
+        return False
+
+
 def set_backward_nfe_tap(fn) -> None:
     """Register ``fn(nfe: int) -> None`` to observe backward-solve NFE
     (pass ``None`` to disable).
@@ -379,8 +436,16 @@ def odeint_adjoint(
     deliberately non-linear (a fixed count, independent of the incoming
     cotangent), so a sink derived from traced values would chain-rule the
     count into real gradients, and ``jax.jvp``/``linearize`` through it
-    would be wrong (ADVICE r2).  A 0-d shape is enforced; independence
-    cannot be detected at trace time and is the caller's contract.
+    would be wrong (ADVICE r2).  A 0-d shape is enforced, and under ``jit``
+    a derived sink is REJECTED at trace time (the in-flight jaxpr frame is
+    walked backwards from the sink; transitive dependence on any traced
+    input raises, with ``stop_gradient`` cutting the walk since it also
+    cuts the chain rule).  Outside jit — a bare ``jax.grad`` where primals
+    are concrete — derivation is undetectable and remains the caller's
+    contract; misuse there corrupts gradients silently::
+
+        # WRONG: grads wrt params gain +nfe_b * d(mean)/d(params)
+        odeint_adjoint(f, params, y0, ts, nfe_sink=params["w"].mean())
 
     Returns ``(ys, SolveStats)``; the stats carry no gradient.
     """
@@ -428,5 +493,17 @@ def odeint_adjoint(
             " see the docstring — it must also be INDEPENDENT of"
             " params/y0/ts or its count-valued cotangent leaks into real"
             " gradients"
+        )
+    if _sink_derived_from_traced_inputs(nfe_sink):
+        raise ValueError(
+            "nfe_sink was COMPUTED from traced inputs of the enclosing jit"
+            " (it transitively reads a traced function argument). Its VJP is"
+            " a raw eval count, not a derivative — a derived sink"
+            " chain-rules that count into the real gradients of whatever it"
+            " was computed from. Pass an independent scalar instead: a fresh"
+            " jnp.zeros(()) (created inside or outside jit), a dedicated"
+            " function argument differentiated via its own argnum, or wrap"
+            " the derivation in jax.lax.stop_gradient(...) if you truly"
+            " need a data-dependent initial value."
         )
     return _odeint_adjoint(func, cfg, params, y0, jnp.asarray(ts), nfe_sink)

@@ -317,3 +317,61 @@ def test_nfe_sink_counts_time_grad_evals(setup):
     n5 = nfe_b(jnp.asarray([0.0, 0.25, 0.5, 0.75, 1.0]))
     assert n2 == int(n2) and n5 == int(n5)
     assert n5 >= n2 + 3  # at least the 3 extra per-interval evals
+
+
+def test_nfe_sink_derived_from_traced_inputs_rejected(setup):
+    """VERDICT r3 #7: a sink COMPUTED from traced jit inputs silently
+    chain-rules the eval count into real gradients; under jit this is
+    detectable in the in-flight jaxpr frame and must raise at trace time."""
+    params, y0, ts = setup
+
+    def loss_with_derived_sink(p):
+        # The classic footgun: a "zero" scalar manufactured from params.
+        sink = p["freq"] * 0.0 + p["b"].sum() * 0.0
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts, nfe_sink=sink, **TOL)
+        return jnp.sum(ys**2)
+
+    with pytest.raises(ValueError, match="COMPUTED from traced inputs"):
+        jax.jit(jax.grad(loss_with_derived_sink))(params)
+
+    # Even a nonzero-derivative derivation (the gradient-corrupting case).
+    def loss_mean_sink(p):
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts,
+                               nfe_sink=p["b"].mean(), **TOL)
+        return jnp.sum(ys**2)
+
+    with pytest.raises(ValueError, match="COMPUTED from traced inputs"):
+        jax.jit(jax.grad(loss_mean_sink))(params)
+
+
+def test_nfe_sink_legitimate_forms_accepted(setup):
+    """The guard must not flag correct usage: a dedicated jit argument, a
+    fresh jnp.zeros(()) created inside jit, and a stop_gradient-wrapped
+    derivation (stop_gradient also cuts the chain rule, so it is safe)."""
+    params, y0, ts = setup
+
+    def loss(p, sink):
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts, nfe_sink=sink, **TOL)
+        return jnp.sum(ys[-1] ** 2)
+
+    # 1. Sink as its own traced argument (the documented pattern).
+    _, nfe_b = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, jnp.zeros(()))
+    assert float(nfe_b) > 0
+
+    # 2. Fresh constant created inside the jit trace.
+    def loss_fresh(p):
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts,
+                               nfe_sink=jnp.zeros(()), **TOL)
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.jit(jax.grad(loss_fresh))(params)
+    assert np.isfinite(jax.flatten_util.ravel_pytree(g)[0]).all()
+
+    # 3. stop_gradient cuts the walk exactly where it cuts the chain rule.
+    def loss_sg(p):
+        sink = jax.lax.stop_gradient(p["b"].sum() * 0.0)
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts, nfe_sink=sink, **TOL)
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.jit(jax.grad(loss_sg))(params)
+    assert np.isfinite(jax.flatten_util.ravel_pytree(g)[0]).all()

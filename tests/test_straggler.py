@@ -24,3 +24,9 @@ def test_nfe_sort_reduces_lane_work():
     over_shuf = r["lane_work_shuffled"] / r["lane_work_useful"]
     over_sort = r["lane_work_sorted"] / r["lane_work_useful"]
     assert over_sort < 0.7 * over_shuf, (over_shuf, over_sort)
+    # Batch-global comparison column (VERDICT r3 #6): the reference's
+    # execution model dilutes stiff samples' errors in the batch-RMS norm —
+    # its worst per-sample error (in tolerance units) must be visibly worse
+    # than either per-sample mode on this heterogeneous pool.
+    assert r["err_units_global"] > 2 * r["err_units_sorted"], r
+    assert r["time_global_shuffled_s"] > 0 and r["lane_work_global"] > 0

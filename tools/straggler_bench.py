@@ -14,10 +14,17 @@ RESULTS.md).  This bench isolates the mechanism on a workload where NFE
 genuinely varies: a pool of scalar linear ODEs y' = -lambda*y with lambda
 log-spaced over [1, lambda_max], solved in batches under per-sample control.
 
-Prints one JSON line with shuffled vs NFE-sorted wall time and the
-executed-lane-work accounting (sum over batches of batch_size * max NFE —
-what the hardware actually runs — vs the sum of per-sample NFE, the useful
-work).
+Prints one JSON line with three wall-clocks — per-sample shuffled,
+per-sample NFE-sorted, and BATCH-GLOBAL shuffled (the reference's execution
+model: one step sequence per batch driven by the batch-RMS error norm,
+SURVEY.md §2.4) — plus the executed-lane-work accounting (sum over batches
+of batch_size * max NFE — what the hardware actually runs — vs the sum of
+per-sample NFE, the useful work) and, because the pool has a closed form
+(y(1) = y0·exp(-λ)), each mode's worst per-sample error in tolerance units
+|y_num − y_exact| / (atol + rtol·|y_exact|).  The error column is the point:
+batch-global can take fewer steps only by DILUTING stiff samples' errors in
+the batch norm — its wall-clock is not comparable at equal per-sample
+accuracy (VERDICT r3 #6).
 
 reference: none — torchdiffeq steps batch-globally (SURVEY.md §2.4), so the
 reference has neither the problem nor the mitigation; this is new-capability
@@ -61,48 +68,65 @@ def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
     y0_np = rng.normal(size=(pool, dim)).astype(np.float32)
     ts = jnp.asarray([0.0, 1.0])
 
-    def solve_pool(lam_dev, y0_dev, idx):
-        """All batches in one dispatch; per-sample stiffness via closure on
-        the gathered lambda rows."""
+    def make_solve(error_control):
+        def solve_pool(lam_dev, y0_dev, idx):
+            """All batches in one dispatch; per-sample stiffness via closure
+            on the gathered lambda rows."""
 
-        def body(acc, sel):
-            lam_b = lam_dev[sel][:, None]
-            y0_b = y0_dev[sel]
+            def body(acc, sel):
+                lam_b = lam_dev[sel][:, None]
+                y0_b = y0_dev[sel]
 
-            def f(t, y):
-                return -lam_b * y
+                def f(t, y):
+                    return -lam_b * y
 
-            ys, stats = odeint(f, y0_b, ts, rtol=tol, atol=tol,
-                               error_control="per_sample", max_steps=4096)
-            return acc + jnp.sum(ys[-1]) * 1e-12, (
-                stats.nfe, jnp.max(stats.nfe)
-            )
+                ys, stats = odeint(f, y0_b, ts, rtol=tol, atol=tol,
+                                   error_control=error_control,
+                                   max_steps=4096)
+                # Closed form y(1) = y0 * exp(-lambda): worst per-sample
+                # error in TOLERANCE UNITS (|err| / (atol + rtol*|exact|)).
+                exact = y0_b * jnp.exp(-lam_b)
+                err_units = jnp.max(
+                    jnp.abs(ys[-1] - exact) / (tol + tol * jnp.abs(exact)),
+                    axis=1,
+                )
+                nfe = jnp.broadcast_to(stats.nfe, (y0_b.shape[0],))
+                return acc + jnp.sum(ys[-1]) * 1e-12, (
+                    nfe, jnp.max(nfe), err_units
+                )
 
-        acc, (nfe, max_nfe) = jax.lax.scan(body, jnp.zeros(()), idx)
-        return acc, nfe.reshape(-1), max_nfe
+            acc, (nfe, max_nfe, err) = jax.lax.scan(body, jnp.zeros(()), idx)
+            return acc, nfe.reshape(-1), max_nfe, jnp.max(err)
 
-    solve = jax.jit(solve_pool)
+        return jax.jit(solve_pool)
+
+    solve = make_solve("per_sample")
+    solve_global = make_solve("global")
     lam_dev = jnp.asarray(lam)
     y0_dev = jnp.asarray(y0_np)
 
-    def measure(order):
+    def measure(order, solve_fn=None):
+        solve_fn = solve if solve_fn is None else solve_fn
         idx = jnp.asarray(
             order.reshape(n_batches, batch_size).astype(np.int32)
         )
-        jax.block_until_ready(solve(lam_dev, y0_dev, idx))  # compile/warm
+        jax.block_until_ready(solve_fn(lam_dev, y0_dev, idx))  # compile/warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            acc, nfe, max_nfe = solve(lam_dev, y0_dev, idx)
+            acc, nfe, max_nfe, err = solve_fn(lam_dev, y0_dev, idx)
             jax.block_until_ready(acc)
             best = min(best, time.perf_counter() - t0)
         nfe = np.asarray(jax.device_get(nfe))
         max_nfe = np.asarray(jax.device_get(max_nfe))
         executed = int(np.sum(max_nfe.astype(np.int64)) * batch_size)
-        return best, nfe, executed
+        return best, nfe, executed, float(jax.device_get(err))
 
     shuffled = rng.permutation(pool)
-    t_shuf, nfe_s, lane_shuf = measure(shuffled)
+    t_shuf, nfe_s, lane_shuf, err_shuf = measure(shuffled)
+    # The reference's execution model: batch-global error control on the
+    # same shuffled pool (one dt sequence per batch, batch-RMS norm).
+    t_glob, nfe_g, lane_glob, err_glob = measure(shuffled, solve_global)
 
     # The real mechanism: probe NFE at 10x-loose tolerance, argsort, rebatch
     # (identical to extract.py --nfe-sort / bench.py --nfe-sort).
@@ -130,22 +154,32 @@ def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
     nfe_probe = np.asarray(jax.device_get(probe(lam_dev, y0_dev, idx0)))
     probe_dt = time.perf_counter() - t0
     order = np.argsort(nfe_probe, kind="stable")
-    t_sort, nfe_o, lane_sort = measure(order)
+    t_sort, nfe_o, lane_sort, err_sort = measure(order)
 
     useful = int(np.sum(np.asarray(nfe_s, np.int64)))
     return {
         "metric": "straggler_bench_mixed_stiffness",
         "pool": pool,
         "batch_size": batch_size,
+        "dim": dim,
         "tol": tol,
         "nfe_spread": [int(nfe_s.min()), int(nfe_s.max())],
         "time_shuffled_s": round(t_shuf, 4),
         "time_nfe_sorted_s": round(t_sort, 4),
+        "time_global_shuffled_s": round(t_glob, 4),
         "probe_s": round(probe_dt, 4),
         "speedup": round(t_shuf / t_sort, 3),
         "speedup_with_probe": round(t_shuf / (t_sort + probe_dt), 3),
+        "speedup_vs_global": round(t_glob / (t_sort + probe_dt), 3),
+        # Worst per-sample error in tolerance units (closed form): the
+        # accuracy contract each wall-clock buys. Batch-global's number
+        # shows how far the diluted batch norm lets stiff samples drift.
+        "err_units_shuffled": round(err_shuf, 2),
+        "err_units_sorted": round(err_sort, 2),
+        "err_units_global": round(err_glob, 2),
         "lane_work_shuffled": lane_shuf,
         "lane_work_sorted": lane_sort,
+        "lane_work_global": lane_glob,
         "lane_work_useful": useful,
         "lane_work_reduction": round(lane_shuf / max(lane_sort, 1), 3),
     }
