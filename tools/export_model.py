@@ -410,6 +410,12 @@ def main(argv=None):
     if not getattr(args, "cpu", False) and primary != "cpu":
         jax.config.update("jax_compilation_cache_dir",
                           str(ROOT / ".jax_cache"))
+        # Exclude tiny/fast programs: they land on XLA:CPU whose AOT
+        # results are machine-feature-specific (SIGILL class on reload —
+        # see bench.py's cache block, r4).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          100_000)
     args.fn(args)
 
 
