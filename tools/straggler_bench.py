@@ -56,12 +56,17 @@ def parse_args(argv=None):
     p.add_argument("--lambda-max", type=float, default=200.0)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--controller", choices=("i", "pi"), default="i",
+                   help="step-size controller for every solve (the pool is "
+                        "stiffness-limited, the PI controller's claimed "
+                        "home turf — measure it here instead of trusting "
+                        "the tuning suite)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
 
 def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
-              tol=1e-6, reps=3):
+              tol=1e-6, reps=3, controller="i"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -91,7 +96,7 @@ def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
 
                 ys, stats = odeint(f, y0_b, ts, rtol=tol, atol=tol,
                                    error_control=error_control,
-                                   max_steps=4096)
+                                   controller=controller, max_steps=4096)
                 # Closed form y(1) = y0 * exp(-lambda): worst per-sample
                 # error in TOLERANCE UNITS (|err| / (atol + rtol*|exact|)).
                 exact = y0_b * jnp.exp(-lam_b)
@@ -148,7 +153,7 @@ def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
 
             _, stats = odeint(f, y0_dev[sel], ts, rtol=tol * 10,
                               atol=tol * 10, error_control="per_sample",
-                              max_steps=4096)
+                              controller=controller, max_steps=4096)
             return None, stats.nfe
 
         _, nfes = jax.lax.scan(body, None, idx)
@@ -172,6 +177,7 @@ def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
         "batch_size": batch_size,
         "dim": dim,
         "tol": tol,
+        "controller": controller,
         "nfe_spread": [int(nfe_s.min()), int(nfe_s.max())],
         "time_shuffled_s": round(t_shuf, 4),
         "time_nfe_sorted_s": round(t_sort, 4),
@@ -203,7 +209,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     result = run_bench(pool=args.pool, batch_size=args.batch_size,
                        dim=args.dim, lambda_max=args.lambda_max,
-                       tol=args.tol, reps=args.reps)
+                       tol=args.tol, reps=args.reps,
+                       controller=args.controller)
     result["backend"] = jax.default_backend()
     print(json.dumps(result))
     return result
