@@ -23,17 +23,18 @@ per-sample NFE, the useful work) and, because the pool has a closed form
 (y(1) = y0·exp(-λ)), each mode's worst per-sample error in tolerance units
 |y_num − y_exact| / (atol + rtol·|y_exact|).  The error column keeps the
 comparison honest — the two modes do NOT buy the same accuracy.  Measured
-(r4, on-chip): on this pool batch-global is the OVER-conservative mode,
-not the sloppy one — the stiffest row's stability-limited error estimate
-drags every lane's dt down, so global delivers ~10× smaller worst-case
-error than requested (≈40 vs per-sample's ≈440 tolerance units) while
-executing 2.7× the useful lane work.  That unsolicited accuracy is exactly
-the waste per-sample control eliminates: at equal REQUESTED tolerance,
+both ways (r4): in strict f32 (CPU) per-sample is ~8× MORE accurate than
+batch-global at the default config (3.4 vs 27.5 tolerance units) while
+executing ~2.9× less lane work — the dilution story is real: the
+batch-RMS norm lets stiff rows drift.  On the TPU the global column is
+bit-comparable (27.45 on both backends) but the per-sample stiff rows
+read ~400 units: a backend-numerics effect (TPU bf16-multiply defaults
+inject per-step noise the error estimator cannot see — the controller's
+contract is local error in its OWN arithmetic, which both backends honor).
+Read TPU error columns with that caveat; the strict-f32 CPU run is the
+controller-contract oracle.  Wall-clock at equal requested tolerance:
 per-sample + NFE-bucketing beats batch-global 4.9× raw / 2.6×
-probe-inclusive wall-clock at dim 16384 (RESULTS.md r4).  (The a-priori
-"dilution" story — the batch-RMS norm letting stiff rows drift PAST
-tolerance — does not occur on this decay pool, where stability, not
-accuracy, binds the stiff rows' steps.)
+probe-inclusive at dim 16384 on chip (RESULTS.md r4).
 
 reference: none — torchdiffeq steps batch-globally (SURVEY.md §2.4), so the
 reference has neither the problem nor the mitigation; this is new-capability
@@ -187,9 +188,10 @@ def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
         "speedup_with_probe": round(t_shuf / (t_sort + probe_dt), 3),
         "speedup_vs_global": round(t_glob / (t_sort + probe_dt), 3),
         # Worst per-sample error in tolerance units (closed form): the
-        # accuracy contract each wall-clock buys. Measured: batch-global
-        # OVER-delivers here (stability-bound stiff rows force tiny global
-        # dt), which is the lane waste per-sample control removes.
+        # accuracy contract each wall-clock buys. Strict-f32 (CPU) truth:
+        # global is ~8x LESS accurate (dilution) at ~2.9x the lane work.
+        # On TPU, read per-sample's column with the bf16-noise caveat
+        # (module docstring).
         "err_units_shuffled": round(err_shuf, 2),
         "err_units_sorted": round(err_sort, 2),
         "err_units_global": round(err_glob, 2),
