@@ -132,8 +132,13 @@ def _partial_integration_weights(s: jnp.ndarray, k: int, x: jnp.ndarray):
 
 
 def _combine(weights, fs, k):
-    """Σ_i w_i f_i over the first k nodes: (B, k) × (B, K, N) → (B, N)."""
-    return jnp.einsum("bi,bin->bn", weights, fs[:, :k])
+    """Σ_i w_i f_i over the first k nodes: (B, k) × (B, K, N) → (B, N).
+
+    precision pin: TPU dot_general defaults to bf16 multiplies; this
+    contraction forms the predictor/corrector states themselves, so it must
+    run in f32 (same class as runge_kutta._dense_write's pin)."""
+    return jnp.einsum("bi,bin->bn", weights, fs[:, :k],
+                      precision=lax.Precision.HIGHEST)
 
 
 def adams_odeint(
@@ -318,7 +323,8 @@ def adams_odeint(
             for k in range(2, _K + 1):
                 w_x = _partial_integration_weights(s_corr, k, x)  # (B,k,T)
                 cand = y[None] + dt_col[None] * jnp.einsum(
-                    "bkt,bkn->tbn", w_x, f_corr_nodes[:, :k]
+                    "bkt,bkn->tbn", w_x, f_corr_nodes[:, :k],
+                    precision=lax.Precision.HIGHEST,  # TPU bf16-dot default
                 )
                 if y_int is None:
                     y_int = cand

@@ -128,10 +128,14 @@ def set_backward_nfe_tap(fn) -> None:
 
 
 def _tree_vdot(a: Any, b: Any) -> jnp.ndarray:
+    # precision pin: vdot lowers to a dot_general, which TPU multiplies in
+    # bf16 by default — this contraction IS the t-gradient (g·f), so it must
+    # run in f32 (same class as runge_kutta._dense_write's pin).
     leaves_a = jax.tree.leaves(a)
     leaves_b = jax.tree.leaves(b)
     return sum(
-        jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b, strict=True)
+        jnp.vdot(x, y, precision=jax.lax.Precision.HIGHEST)
+        for x, y in zip(leaves_a, leaves_b, strict=True)
     )
 
 

@@ -177,7 +177,10 @@ def odeint_dense(
         accept = (ratio <= 1.0) & active
         t1_ = t0_ + dt
 
-        coef = jnp.einsum("cd,dbn->cbn", fit, data)  # (D+1, B, N)
+        # precision pin: TPU dots default to bf16 multiplies; this one
+        # touches the stored state data itself (see runge_kutta._dense_write).
+        coef = jnp.einsum("cd,dbn->cbn", fit, data,
+                          precision=lax.Precision.HIGHEST)  # (D+1, B, N)
 
         # Per-sample scatter of this step's record at row naccept[b].
         slot = jnp.minimum(c["naccept"], max_steps - 1)  # (B,)

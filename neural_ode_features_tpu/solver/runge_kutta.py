@@ -234,7 +234,12 @@ def _dense_write(fit, parts_fn, ts, t0, t1, dt, direction, accept, out):
                      0.0, 1.0)
         d1 = fit.shape[0]
         xp = jnp.stack([x**c for c in range(d1)])  # (D+1, T-1, B) — tiny
-        g = jnp.einsum("cd,ctb->dtb", fit, xp)     # per-sample scalars
+        # precision pin: this contraction lowers to a dot_general, which the
+        # TPU multiplies in bf16 by default — measured up to ~400 tolerance
+        # units of output error on easy per-sample rows (large covering dt)
+        # at tol 1e-6 until pinned (probes/r4/persample_tpu_accuracy).
+        g = jnp.einsum("cd,ctb->dtb", fit, xp,
+                       precision=lax.Precision.HIGHEST)
         vals = sum(g[d][:, :, None] * parts[d][None] for d in range(d1))
         return jnp.where(covered[:, :, None], vals, out)
 

@@ -26,13 +26,13 @@ comparison honest — the two modes do NOT buy the same accuracy.  Measured
 both ways (r4): in strict f32 (CPU) per-sample is ~8× MORE accurate than
 batch-global at the default config (3.4 vs 27.5 tolerance units) while
 executing ~2.9× less lane work — the dilution story is real: the
-batch-RMS norm lets stiff rows drift.  On the TPU the global column is
-bit-comparable (27.45 on both backends) but the per-sample stiff rows
-read ~400 units: a backend-numerics effect (TPU bf16-multiply defaults
-inject per-step noise the error estimator cannot see — the controller's
-contract is local error in its OWN arithmetic, which both backends honor).
-Read TPU error columns with that caveat; the strict-f32 CPU run is the
-controller-contract oracle.  Wall-clock at equal requested tolerance:
+batch-RMS norm lets stiff rows drift.  The TPU per-sample column initially
+read ~400 units — root-caused to the dense-output fit einsum lowering to a
+bf16 dot_general (TPU default) and FIXED by a precision pin in
+runge_kutta._dense_write (probes/r4/persample_tpu_accuracy.log); post-fix
+the TPU column is bit-equal to the strict-f32 CPU oracle (3.44 vs global's
+27.45 on both backends), so the dilution result is backend-uniform.
+Wall-clock at equal requested tolerance:
 per-sample + NFE-bucketing beats batch-global 4.9× raw / 2.6×
 probe-inclusive at dim 16384 on chip (RESULTS.md r4).
 
@@ -188,10 +188,9 @@ def run_bench(pool=4096, batch_size=256, dim=64, lambda_max=200.0,
         "speedup_with_probe": round(t_shuf / (t_sort + probe_dt), 3),
         "speedup_vs_global": round(t_glob / (t_sort + probe_dt), 3),
         # Worst per-sample error in tolerance units (closed form): the
-        # accuracy contract each wall-clock buys. Strict-f32 (CPU) truth:
-        # global is ~8x LESS accurate (dilution) at ~2.9x the lane work.
-        # On TPU, read per-sample's column with the bf16-noise caveat
-        # (module docstring).
+        # accuracy contract each wall-clock buys. Global is ~8x LESS
+        # accurate (dilution) at ~2.9x the lane work — on both backends
+        # since the r4 dense-write precision pin (module docstring).
         "err_units_shuffled": round(err_shuf, 2),
         "err_units_sorted": round(err_sort, 2),
         "err_units_global": round(err_glob, 2),
