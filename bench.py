@@ -348,27 +348,12 @@ def inner_main(argv=None):
     import jax
 
     # Persistent compilation cache: warm reruns skip the 1-8 min compile.
-    # TPU-only: the XLA:CPU AOT cache loader warns about machine-feature
-    # mismatches on this host (SIGILL risk) and CPU compiles are cheap.
-    if not args.cpu:
-        try:
-            os.makedirs(CACHE_DIR, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-            # Entry gates: keep the multi-minute MB-sized TPU programs,
-            # exclude the tiny fast host-side programs.  Those land on
-            # XLA:CPU, whose AOT results are machine-feature-specific —
-            # r4 caught the cache serving +prefer-no-scatter CPU entries
-            # to a host without them (cpu_aot_loader SIGILL warning, the
-            # CLAUDE.md "never cache XLA:CPU" class).  JAX 0.9 has no
-            # per-backend cache filter, so gate by size + compile time:
-            # every CPU-compiled program this process makes is KB-sized
-            # and sub-second; every TPU entry worth caching is neither.
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              5.0)
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                              100_000)
-        except Exception as e:
-            log(f"compile cache unavailable: {e}")
+    # The helper owns the mandatory gates (XLA:CPU AOT entries are
+    # machine-feature-specific — see utils/compile_cache.py).
+    from neural_ode_features_tpu.utils import enable_tpu_compile_cache
+
+    if not enable_tpu_compile_cache(CACHE_DIR, cpu=args.cpu) and not args.cpu:
+        log("compile cache unavailable")
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -83,9 +83,13 @@ def _sink_derived_from_traced_inputs(sink) -> bool:
         return False
     t, hops = sink, 0
     # Unwrap JVP/batch tracer layers (grad-of-jit, vmap-of-jit) down to the
-    # dynamic-jaxpr tracer that carries the frame.
+    # dynamic-jaxpr tracer that carries the frame.  JVPTracer carries its
+    # inner tracer as ``.primal``; BatchTracer (vmap) carries it as ``.val``
+    # — follow either, or the vmap-of-jit path is silently undetectable.
     while not isinstance(t, DynamicJaxprTracer) and hops < 8:
         nxt = getattr(t, "primal", None)
+        if nxt is None:
+            nxt = getattr(t, "val", None)
         if nxt is None or nxt is t:
             return False
         t, hops = nxt, hops + 1

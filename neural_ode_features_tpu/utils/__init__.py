@@ -1,5 +1,6 @@
 """Utilities: meters, experiment management, checkpointing."""
 
+from .compile_cache import enable_tpu_compile_cache
 from .checkpoint import (
     from_torch_state_dict,
     load_checkpoint,
@@ -11,6 +12,7 @@ from .flops import odenet_flops_per_image, peak_flops_per_chip
 from .meters import AverageMeter, RunningAverageMeter, count_parameters
 
 __all__ = [
+    "enable_tpu_compile_cache",
     "odenet_flops_per_image",
     "peak_flops_per_chip",
     "Experiment",

@@ -22,7 +22,9 @@ def log(msg):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    from neural_ode_features_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()  # gated (see utils/compile_cache.py)
     import jax.flatten_util
     import jax.numpy as jnp
     import numpy as np

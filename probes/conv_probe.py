@@ -32,8 +32,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, "/root/repo")
+from neural_ode_features_tpu.utils import enable_tpu_compile_cache  # noqa: E402
+
+enable_tpu_compile_cache()  # gated (see utils/compile_cache.py)
 
 LOG = "/root/repo/probes/conv_probe_r3.log"
 B, H, W, C = 256, 7, 7, 64

@@ -29,10 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 sys.path.insert(0, "/root/repo")
+from neural_ode_features_tpu.utils import enable_tpu_compile_cache  # noqa: E402
+
+enable_tpu_compile_cache()  # gated (see utils/compile_cache.py)
 
 from neural_ode_features_tpu.kernels.rk_step_pallas import (  # noqa: E402
     make_fused_dopri5_step,

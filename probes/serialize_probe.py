@@ -23,7 +23,12 @@ def log(msg):
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import sys
+
+sys.path.insert(0, "/root/repo")
+from neural_ode_features_tpu.utils import enable_tpu_compile_cache
+
+enable_tpu_compile_cache()  # gated (see utils/compile_cache.py)
 
 log(f"devices: {jax.devices()}")
 

@@ -344,6 +344,36 @@ def test_nfe_sink_derived_from_traced_inputs_rejected(setup):
         jax.jit(jax.grad(loss_mean_sink))(params)
 
 
+def test_nfe_sink_derived_rejected_under_vmap(setup):
+    """code-review r4: BatchTracer stores its inner tracer as ``.val`` (not
+    ``.primal``), so the unwrap loop must follow both or a derived sink
+    inside a vmapped body — e.g. the population trainer's per-seed epoch —
+    silently evades the guard."""
+    params, y0, ts = setup
+
+    def per_seed_loss(p, scale):
+        sink = scale * 0.0  # derived from a vmapped traced input
+        ys, _ = odeint_adjoint(_dynamics, p, y0, ts, nfe_sink=sink, **TOL)
+        return jnp.sum(ys**2)
+
+    def batched(p, scales):
+        return jax.vmap(lambda s: per_seed_loss(p, s))(scales).sum()
+
+    with pytest.raises(ValueError, match="COMPUTED from traced inputs"):
+        jax.jit(jax.grad(batched))(params, jnp.ones(3))
+
+    # The documented pattern stays accepted under vmap: per-lane sinks
+    # passed as their own vmapped argument.
+    def ok(p, sinks):
+        def lane(s):
+            ys, _ = odeint_adjoint(_dynamics, p, y0, ts, nfe_sink=s, **TOL)
+            return jnp.sum(ys[-1] ** 2)
+        return jax.vmap(lane)(sinks).sum()
+
+    (_, nfe_b) = jax.jit(jax.grad(ok, argnums=(0, 1)))(params, jnp.zeros(3))
+    assert np.isfinite(np.asarray(nfe_b)).all()
+
+
 def test_nfe_sink_legitimate_forms_accepted(setup):
     """The guard must not flag correct usage: a dedicated jit argument, a
     fresh jnp.zeros(()) created inside jit, and a stop_gradient-wrapped

@@ -42,17 +42,11 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
-        import os
+        # Gated enablement (XLA:CPU AOT entries are machine-feature-
+        # specific — see utils/compile_cache.py).
+        from neural_ode_features_tpu.utils import enable_tpu_compile_cache
 
-        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        # Exclude tiny/fast programs: they land on XLA:CPU whose AOT
-        # results are machine-feature-specific (SIGILL class on reload —
-        # see bench.py's cache block, r4).
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                          100_000)
+        enable_tpu_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -397,25 +397,14 @@ def main(argv=None):
 
     # Persistent compile cache: axon first-compile can cost minutes per
     # process; the cache is verified to work cross-process (CLAUDE.md).
-    # Must be set before the first compilation.  CPU-pinned runs skip it —
-    # whether pinned by --cpu or by the embedding process (the test suite
-    # pins via jax.config): their compiles are seconds, and XLA:CPU AOT
-    # cache entries are machine-feature-specific (a cross-host hit can
-    # fail to load, or worse, SIGILL).
-    # The primary platform decides: axon's sitecustomize defaults this to
-    # "axon,cpu" (cpu is only the fallback), while a CPU pin sets exactly
-    # "cpu".
-    platforms = str(getattr(jax.config, "jax_platforms", None) or "")
-    primary = platforms.split(",")[0].strip()
-    if not getattr(args, "cpu", False) and primary != "cpu":
-        jax.config.update("jax_compilation_cache_dir",
-                          str(ROOT / ".jax_cache"))
-        # Exclude tiny/fast programs: they land on XLA:CPU whose AOT
-        # results are machine-feature-specific (SIGILL class on reload —
-        # see bench.py's cache block, r4).
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                          100_000)
+    # Must be set before the first compilation.  The helper skips
+    # CPU-pinned processes (--cpu, or an embedding process that pinned via
+    # jax.config, e.g. the test suite) and owns the mandatory entry gates
+    # (XLA:CPU AOT entries are machine-feature-specific — see
+    # utils/compile_cache.py).
+    from neural_ode_features_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache(cpu=getattr(args, "cpu", False))
     args.fn(args)
 
 
