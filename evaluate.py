@@ -2,7 +2,7 @@
 """Evaluate extracted features: accuracy / retrieval-mAP vs integration time.
 
 CLI parity with the reference's evaluation layer (reference: evaluate.py /
-notebooks — SURVEY.md §3.5): reads the per-t feature file(s) written by
+notebooks — UNVERIFIED, SURVEY.md §3.5): reads the per-t feature file(s) written by
 extract.py, computes linear-probe accuracy, kNN accuracy and retrieval mAP
 at every t, and writes ``metrics_vs_t.csv`` next to the input — the data
 behind the papers' metric-vs-t curves.
@@ -119,7 +119,18 @@ def main(argv=None):
     train = None
     if args.train_features:
         with h5py.File(args.train_features) as f:
+            train_ts = np.asarray(f["t"])
             train = (np.asarray(f["features"]), np.asarray(f["labels"]))
+        # The probe pairs train/test features BY INDEX, so the two files
+        # must have been extracted on the same t-grid — otherwise every
+        # t>0 row silently trains on one time and tests on another
+        # (code-review r4).
+        if train_ts.shape != ts.shape or not np.allclose(train_ts, ts,
+                                                         atol=1e-6):
+            raise SystemExit(
+                f"--train-features t-grid {np.round(train_ts, 4).tolist()} "
+                f"!= --features t-grid {np.round(ts, 4).tolist()}: re-run "
+                "extract.py with the same --timestamps for both splits")
 
     if args.limit and args.limit < feats.shape[1]:
         rng = np.random.default_rng(0)
@@ -127,6 +138,13 @@ def main(argv=None):
         feats, labels = feats[:, sel], labels[sel]
 
     metrics = tuple(args.metrics.split(","))
+    unknown = [m for m in metrics if m not in ("linear", "knn", "map")]
+    if unknown:
+        # An unrecognized token used to be a silent no-op: rows printed with
+        # no metric columns and "best t" degenerated (code-review r4).
+        raise SystemExit(
+            f"--metrics {args.metrics}: unknown metric(s) {unknown}; "
+            "valid tokens are linear (linear probe), knn, map")
     rows = []
     for i, t in enumerate(ts):
         tf, tl = (train[0][i], train[1]) if train else (None, None)

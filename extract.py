@@ -76,6 +76,15 @@ def _scan_batches(fn, params, imgs_stacked):
     return jax.device_get(run(params, jnp.asarray(imgs_stacked)))
 
 
+def _valid_nfe(nfe, valid):
+    """Per-valid-sample NFE: global error control yields a (1,) NFE per
+    batch — broadcast it to the batch before masking off padded rows."""
+    nfe = np.asarray(nfe)
+    if nfe.shape[0] != valid.shape[0]:
+        nfe = np.broadcast_to(nfe, valid.shape)
+    return nfe[valid]
+
+
 def main(argv=None):
     args = parse_args(argv)
     import jax
@@ -142,20 +151,17 @@ def main(argv=None):
             nfes = _scan_batches(probe_body, params,
                                  np.stack([t[0] for t in trip]))
             for (_, _, valid), nfe in zip(trip, np.asarray(nfes)):
-                if nfe.shape[0] != valid.shape[0]:
-                    nfe = np.broadcast_to(nfe, valid.shape)
-                nfe_pred.append(nfe[valid])
+                nfe_pred.append(_valid_nfe(nfe, valid))
         else:
             probe = jax.jit(probe_body)
             for img, _, valid in probe_b.padded_batches():
-                nfe = np.asarray(jax.device_get(probe(params, img)))
-                if nfe.shape[0] != valid.shape[0]:
-                    nfe = np.broadcast_to(nfe, valid.shape)
-                nfe_pred.append(nfe[valid])
-        order = np.argsort(np.concatenate(nfe_pred), kind="stable")
+                nfe = jax.device_get(probe(params, img))
+                nfe_pred.append(_valid_nfe(nfe, valid))
+        nfe_pred = np.concatenate(nfe_pred)
+        order = np.argsort(nfe_pred, kind="stable")
         images, labels = images[order], labels[order]
         print(f"nfe-sort: predicted NFE spread "
-              f"{np.concatenate(nfe_pred).min()}..{np.concatenate(nfe_pred).max()}")
+              f"{nfe_pred.min()}..{nfe_pred.max()}")
 
     batches = Batches(images, labels, args.batch_size, shuffle=False,
                       drop_remainder=False)
@@ -183,21 +189,16 @@ def main(argv=None):
             extract_body, params, np.stack([t[0] for t in trip]))
         for (_, lab, valid), f, nfe in zip(trip, np.asarray(feats_all),
                                            np.asarray(nfes_all)):
-            if nfe.shape[0] != valid.shape[0]:
-                nfe = np.broadcast_to(nfe, valid.shape)
             feats_parts.append(np.asarray(f[:, valid], np.float32))
-            nfe_parts.append(np.asarray(nfe[valid], np.int32))
+            nfe_parts.append(_valid_nfe(nfe, valid).astype(np.int32))
             label_parts.append(lab[valid])
     else:
         extract_batch = jax.jit(extract_body)
         for img, lab, valid in batches.padded_batches():
             f, nfe = jax.device_get(extract_batch(params, img))
-            if nfe.shape[0] != valid.shape[0]:  # global control: (1,) NFE
-                nfe = np.broadcast_to(nfe, valid.shape)
-            f, nfe, lab = f[:, valid], nfe[valid], lab[valid]
-            feats_parts.append(np.asarray(f, np.float32))
-            nfe_parts.append(np.asarray(nfe, np.int32))
-            label_parts.append(lab)
+            feats_parts.append(np.asarray(f[:, valid], np.float32))
+            nfe_parts.append(_valid_nfe(nfe, valid).astype(np.int32))
+            label_parts.append(lab[valid])
 
     features = np.concatenate(feats_parts, axis=1)  # (T, N, C)
     nfe = np.concatenate(nfe_parts)

@@ -1,5 +1,8 @@
 """Host-side batching: in-memory epochs of raw uint8 batches.
 
+reference: utils.py get_loaders() / torch DataLoader use — UNVERIFIED
+(SURVEY.md §2.1).
+
 Both datasets fit comfortably in host RAM (MNIST 45 MB, CIFAR-10 180 MB), so
 the pipeline is a zero-copy shuffled slicer — no worker processes (the
 reference pays multiprocess DataLoader overhead; SURVEY.md §3.1 notes the

@@ -38,7 +38,13 @@ import jax.numpy as jnp
 import warnings
 
 from .parallel import population_sharding, population_shardings, replicate
-from .training import TrainConfig, Trainer, _model_fns
+from .training import (
+    TrainConfig,
+    Trainer,
+    _model_fns,
+    _stage_eval,
+    _stage_train,
+)
 
 __all__ = ["PopulationTrainer"]
 
@@ -141,16 +147,8 @@ class PopulationTrainer:
     def train_epoch(self, images_u8, labels, epoch: int):
         """One dispatch trains one epoch for EVERY seed; returns stacked
         per-step metrics, shape ``(K, steps)`` per key."""
-        rep = self._rep
-        if self._staged is None or not (
-            self._staged[0] is images_u8 and self._staged[1] is labels
-        ):
-            self._staged = (
-                images_u8,
-                labels,
-                jax.device_put(images_u8, rep),
-                jax.device_put(labels.astype(np.int32), rep),
-            )
+        self._staged = _stage_train(self._staged, images_u8, labels,
+                                    self._rep)
         img_dev, lab_dev = self._staged[2], self._staged[3]
 
         n = len(images_u8)
@@ -182,33 +180,12 @@ class PopulationTrainer:
     def evaluate_fused(self, images_u8, labels) -> list[dict[str, float]]:
         """Whole test set, every seed, one dispatch; per-seed dicts with the
         same keys/semantics as ``Trainer.evaluate_fused``."""
-        rep = self._rep
-        bs = self.cfg.batch_size
         n = len(images_u8)
-        n_pad = (-n) % bs
-        if self._eval_staged is None or not (
-            self._eval_staged[0] is images_u8
-            and self._eval_staged[1] is labels
-        ):
-            img = np.concatenate(
-                [images_u8,
-                 np.zeros((n_pad,) + images_u8.shape[1:], images_u8.dtype)]
-            ) if n_pad else images_u8
-            lab = np.concatenate(
-                [labels.astype(np.int32), np.zeros(n_pad, np.int32)]
-            ) if n_pad else labels.astype(np.int32)
-            val = np.concatenate([np.ones(n, bool), np.zeros(n_pad, bool)])
-            self._eval_staged = (
-                images_u8,
-                labels,
-                jax.device_put(img, rep),
-                jax.device_put(lab, rep),
-                jax.device_put(val, rep),
-            )
-        img_dev, lab_dev, val_dev = self._eval_staged[2:]
-        idx = jax.device_put(
-            np.arange(n + n_pad, dtype=np.int32).reshape(-1, bs), rep
+        self._eval_staged, idx = _stage_eval(
+            self._eval_staged, images_u8, labels, self.cfg.batch_size,
+            self._rep
         )
+        img_dev, lab_dev, val_dev = self._eval_staged[2:]
         m = jax.device_get(
             self._pop_eval(self.params, img_dev, lab_dev, val_dev, idx)
         )

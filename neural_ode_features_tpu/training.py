@@ -124,15 +124,81 @@ def _direct_diff_logits(params, x, cfg: ModelConfig):
         method=cfg.method,
         error_control=cfg.error_control,
         max_steps=cfg.max_steps,
+        controller=cfg.controller,
         unroll="scan_remat",
     )
     return head_apply(params["head"], traj[-1], cfg), stats
+
+
+def _stage_train(staged, images_u8, labels, sharding):
+    """Identity-keyed device staging shared by Trainer and
+    PopulationTrainer (code-review r4: was copy-pasted in both).
+
+    Keyed on the source arrays THEMSELVES (strong refs + identity): a
+    strong ref pins the objects so their ids can never be recycled — an
+    id()-keyed variant could silently reuse stale staged data for a new
+    array allocated at a dead array's address (ADVICE r1).  Returns the
+    (possibly refreshed) staged tuple
+    ``(images_u8, labels, img_dev, lab_dev)``.
+    """
+    if staged is None or not (
+        staged[0] is images_u8 and staged[1] is labels
+    ):
+        staged = (
+            images_u8,
+            labels,
+            jax.device_put(images_u8, sharding),
+            jax.device_put(labels.astype(np.int32), sharding),
+        )
+    return staged
+
+
+def _stage_eval(staged, images_u8, labels, batch_size, sharding):
+    """Identity-keyed eval staging: zero-pad the tail to a multiple of
+    ``batch_size``, stage with a validity mask (see :func:`_stage_train`
+    for the identity-keying rationale).  Returns ``(staged, idx_dev)``
+    where ``staged = (images_u8, labels, img_dev, lab_dev, val_dev)`` and
+    ``idx_dev`` is the ``(n_batches, batch_size)`` gather index plan."""
+    n = len(images_u8)
+    n_pad = (-n) % batch_size
+    if staged is None or not (
+        staged[0] is images_u8 and staged[1] is labels
+    ):
+        img = np.concatenate(
+            [images_u8,
+             np.zeros((n_pad,) + images_u8.shape[1:], images_u8.dtype)]
+        ) if n_pad else images_u8
+        lab = np.concatenate(
+            [labels.astype(np.int32), np.zeros(n_pad, np.int32)]
+        ) if n_pad else labels.astype(np.int32)
+        val = np.concatenate([np.ones(n, bool), np.zeros(n_pad, bool)])
+        staged = (
+            images_u8,
+            labels,
+            jax.device_put(img, sharding),
+            jax.device_put(lab, sharding),
+            jax.device_put(val, sharding),
+        )
+    idx = jax.device_put(
+        np.arange(n + n_pad, dtype=np.int32).reshape(-1, batch_size),
+        sharding,
+    )
+    return staged, idx
 
 
 class Trainer:
     """Owns params/opt-state, the compiled steps, and the mesh."""
 
     def __init__(self, train_cfg: TrainConfig, steps_per_epoch: int):
+        if steps_per_epoch < 1:
+            # drop_remainder batching: a dataset smaller than one batch
+            # trains ZERO steps yet would still log rows and save
+            # checkpoints every epoch — refuse instead (code-review r4).
+            raise ValueError(
+                f"steps_per_epoch={steps_per_epoch}: the training set is "
+                f"smaller than batch_size={train_cfg.batch_size} "
+                "(drop-remainder batching trains nothing); lower "
+                "--batch-size or raise --limit")
         self.cfg = train_cfg
         self.model_cfg = train_cfg.model_config()
         self.mesh = make_mesh(
@@ -239,22 +305,27 @@ class Trainer:
     def _eval_step_impl(self, params, images_u8, labels, valid):
         x = self._preprocess(images_u8, None, train=False)
         cfg = self.model_cfg
+        valid_f = valid.astype(jnp.float32)
         if self.cfg.model == "odenet":
             logits, stats = odenet_logits(params, x, cfg, adjoint=False)
-            nfe = jnp.sum(stats.nfe.astype(jnp.float32)) / jnp.maximum(
-                stats.nfe.shape[0], 1
-            )
+            # Masked per-sample sum, exactly like _eval_fused_impl: the
+            # zero-padded tail samples' solves must not count (code-review
+            # r4 — the two eval paths disagreed on test_nfe on padded
+            # tails; global control yields a (1,) nfe, hence the broadcast).
+            nfe_ps = stats.nfe.astype(jnp.float32)
+            if nfe_ps.shape[0] != valid.shape[0]:
+                nfe_ps = jnp.broadcast_to(nfe_ps, valid.shape)
+            nfe_sum = jnp.sum(nfe_ps * valid_f)
         else:
             logits = resnet_logits(params, x, cfg)
-            nfe = jnp.zeros(())
-        valid_f = valid.astype(jnp.float32)
+            nfe_sum = jnp.zeros(())
         correct = ((jnp.argmax(logits, -1) == labels) & valid).astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         return {
             "correct": jnp.sum(correct),
             "loss_sum": jnp.sum(ce * valid_f),
             "count": jnp.sum(valid_f),
-            "nfe": nfe,
+            "nfe_sum": nfe_sum,
         }
 
     # -- fused epoch: the whole epoch as ONE device dispatch ------------------
@@ -305,19 +376,7 @@ class Trainer:
                 donate_argnums=(0, 1),
             )
             self._staged = None
-        # Key on the source arrays THEMSELVES (strong refs + identity): a
-        # strong ref pins the objects so their ids can never be recycled —
-        # the id()-keyed variant could silently reuse stale staged data for
-        # a new array allocated at a dead array's address (ADVICE r1).
-        if self._staged is None or not (
-            self._staged[0] is images_u8 and self._staged[1] is labels
-        ):
-            self._staged = (
-                images_u8,
-                labels,
-                jax.device_put(images_u8, rep),
-                jax.device_put(labels.astype(np.int32), rep),
-            )
+        self._staged = _stage_train(self._staged, images_u8, labels, rep)
         img_dev, lab_dev = self._staged[2], self._staged[3]
 
         n = len(images_u8)
@@ -376,34 +435,11 @@ class Trainer:
                 out_shardings=rep,
             )
             self._eval_staged = None
-        bs = self.cfg.batch_size
         n = len(images_u8)
-        n_pad = (-n) % bs
-        # Identity-keyed with strong refs (see train_epoch): ids can't
-        # recycle while the cache holds the source arrays.
-        if self._eval_staged is None or not (
-            self._eval_staged[0] is images_u8 and self._eval_staged[1] is labels
-        ):
-            img = np.concatenate(
-                [images_u8,
-                 np.zeros((n_pad,) + images_u8.shape[1:], images_u8.dtype)]
-            ) if n_pad else images_u8
-            lab = np.concatenate(
-                [labels.astype(np.int32), np.zeros(n_pad, np.int32)]
-            ) if n_pad else labels.astype(np.int32)
-            val = np.concatenate([np.ones(n, bool), np.zeros(n_pad, bool)])
-            self._eval_staged = (
-                images_u8,
-                labels,
-                jax.device_put(img, rep),
-                jax.device_put(lab, rep),
-                jax.device_put(val, rep),
-            )
-        img_dev, lab_dev, val_dev = self._eval_staged[2:]
-
-        idx = jax.device_put(
-            np.arange(n + n_pad, dtype=np.int32).reshape(-1, bs), rep
+        self._eval_staged, idx = _stage_eval(
+            self._eval_staged, images_u8, labels, self.cfg.batch_size, rep
         )
+        img_dev, lab_dev, val_dev = self._eval_staged[2:]
         m = jax.device_get(
             self._eval_fused(self.params, img_dev, lab_dev, val_dev, idx)
         )
@@ -559,16 +595,15 @@ class Trainer:
         )
 
     def evaluate(self, batches) -> dict[str, float]:
-        total = {"correct": 0.0, "loss_sum": 0.0, "count": 0.0, "nfe": 0.0}
-        n_batches = 0
+        total = {"correct": 0.0, "loss_sum": 0.0, "count": 0.0, "nfe_sum": 0.0}
         for img, lab, valid in batches.padded_batches():
             m = jax.device_get(self.eval_batch(img, lab, valid))
-            for k in ("correct", "loss_sum", "count"):
+            for k in total:
                 total[k] += float(m[k])
-            total["nfe"] += float(m["nfe"])
-            n_batches += 1
+        # Per-VALID-sample mean, identical to evaluate_fused (padded tail
+        # samples excluded; partial batches weighted by their real size).
         return {
             "acc": total["correct"] / max(total["count"], 1),
             "loss": total["loss_sum"] / max(total["count"], 1),
-            "nfe": total["nfe"] / max(n_batches, 1),
+            "nfe": total["nfe_sum"] / max(total["count"], 1),
         }

@@ -65,6 +65,52 @@ def test_cli_pipeline(tmp_path):
     assert 0.0 <= sweep_rows[0]["top1"] <= 1.0
 
 
+def test_evaluate_rejects_mismatched_train_tgrid(tmp_path):
+    """evaluate.py pairs train/test features by index, so differing t-grids
+    must be refused up front (code-review r4: it silently trained the probe
+    at one t and tested at another)."""
+    import h5py
+
+    import evaluate as evaluate_cli
+
+    def write(path, n_t):
+        ts = np.linspace(0, 1, n_t).astype(np.float32)
+        with h5py.File(path, "w") as f:
+            f["t"] = ts
+            f["features"] = np.random.default_rng(0).normal(
+                size=(n_t, 20, 4)).astype(np.float32)
+            f["labels"] = np.arange(20, dtype=np.int32) % 2
+
+    test_h5 = tmp_path / "test.h5"
+    train_h5 = tmp_path / "train.h5"
+    write(test_h5, 3)
+    write(train_h5, 5)
+    with pytest.raises(SystemExit, match="t-grid"):
+        evaluate_cli.main([
+            "--features", str(test_h5),
+            "--train-features", str(train_h5),
+            "--metrics", "linear",
+        ])
+
+
+def test_evaluate_rejects_unknown_metric(tmp_path):
+    """An unrecognized --metrics token used to be a silent no-op: every row
+    printed with no metric columns and 'best t' degenerated to the first row
+    (code-review r4, found live with --metrics probe)."""
+    import h5py
+
+    import evaluate as evaluate_cli
+
+    h5 = tmp_path / "f.h5"
+    with h5py.File(h5, "w") as f:
+        f["t"] = np.linspace(0, 1, 3).astype(np.float32)
+        f["features"] = np.random.default_rng(0).normal(
+            size=(3, 20, 4)).astype(np.float32)
+        f["labels"] = np.arange(20, dtype=np.int32) % 2
+    with pytest.raises(SystemExit, match="unknown metric"):
+        evaluate_cli.main(["--features", str(h5), "--metrics", "probe"])
+
+
 def test_evaluate_plot(tmp_path):
     """--plot writes a PNG next to the CSV (the papers' metric-vs-t curve)."""
     from evaluate import _plot_metrics

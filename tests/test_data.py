@@ -52,6 +52,22 @@ def test_batches_deterministic_shuffle():
     assert len(b1) == 3  # drop remainder
 
 
+def test_batches_resume_epoch_alignment():
+    """Resume parity (code-review r4): setting ``epoch`` to the resumed
+    index must reproduce the permutation an uninterrupted run used at that
+    epoch — train.py relies on this after a preemption restart."""
+    x = np.arange(100, dtype=np.uint8)[:, None, None, None]
+    y = np.arange(100, dtype=np.uint8)
+    straight = Batches(x, y, 32, seed=5)
+    for _ in range(3):  # consume epochs 0..2
+        list(straight)
+    resumed = Batches(x, y, 32, seed=5)
+    resumed.epoch = 3
+    for (xa, ya), (xb, yb) in zip(straight, resumed):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
 def test_padded_batches_mask():
     x = np.zeros((70, 4, 4, 1), np.uint8)
     y = np.zeros(70, np.uint8)

@@ -337,6 +337,35 @@ def test_evaluate_fused_covers_tail(tiny_data):
     )
     assert abs(ev_f["acc"] - ev_b["acc"]) < 1e-6
     assert abs(ev_f["loss"] - ev_b["loss"]) < 1e-5
+    # test_nfe must agree too: the per-batch path used to count the
+    # padded tail samples' solves unmasked (code-review r4).
+    assert abs(ev_f["nfe"] - ev_b["nfe"]) < 1e-4
+
+
+def test_zero_steps_per_epoch_refused():
+    """A training set smaller than one batch trains nothing under
+    drop-remainder batching; Trainer must refuse instead of silently
+    logging empty epochs (code-review r4)."""
+    with pytest.raises(ValueError, match="smaller than batch_size"):
+        Trainer(_cfg(batch_size=64), steps_per_epoch=0)
+
+
+def test_direct_diff_uses_configured_controller(tiny_data, monkeypatch):
+    """--no-adjoint training must integrate with cfg.controller, like every
+    other solve path (code-review r4: it silently fell back to 'i')."""
+    import neural_ode_features_tpu.training as T
+
+    x, y = tiny_data
+    seen = {}
+    real_odeint = T.odeint
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real_odeint(*a, **kw)
+
+    monkeypatch.setattr(T, "odeint", spy)
+    _run_steps(_cfg(adjoint=False, controller="pi"), x, y, n_steps=1)
+    assert seen.get("controller") == "pi"
 
 
 def test_shard_batch_returns_tuple():

@@ -159,10 +159,17 @@ def main(argv=None):
     # identical *hyperparameters* resume the same directory).
     # "seeds" is excluded so solo run identities predate the flag; the
     # population path overrides "seed" per member instead.
+    # num_devices / model_shards are execution topology, not hyperparameters:
+    # the same run must be resumable after a preemption onto a different
+    # mesh (orbax reshards on restore) — so they must appear in neither the
+    # run-dir name nor params.json (create() refuses a params mismatch on
+    # resume).  NOTE: this changes run-dir names vs rounds ≤4-early, which
+    # included them in the identity (code-review r4).
     exp_params = {k: v for k, v in vars(args).items()
                   if k not in ("runs_dir", "data_dir", "cpu", "eval_every",
                                "profile", "resume", "tensorboard",
-                               "max_steps", "state_format", "seeds")}
+                               "max_steps", "state_format", "seeds",
+                               "num_devices", "model_shards")}
     if exp_params.get("controller") == "i":
         # The default controller is dropped from the identity so run names
         # predate the flag (old runs stay resumable); 'pi' changes the
@@ -230,7 +237,13 @@ def main(argv=None):
 
         tb_writer = metric_writers.SummaryWriter(str(exp.file("tb")))
 
-    rng = jax.random.PRNGKey(args.seed + 1)
+    rng_base = jax.random.PRNGKey(args.seed + 1)
+    # Resume parity for the non-fused path (code-review r4): Batches keys
+    # its shuffle on its own epoch counter, which restarts at 0 in a new
+    # process — align it with the true epoch so resumed epochs see the data
+    # order an uninterrupted run would have (the fused path already keys
+    # shuffle/augmentation on the epoch index).
+    train_b.epoch = start_epoch
     best_acc = resumed_best
     loss_m, nfe_m = RunningAverageMeter(), RunningAverageMeter()
     # Backward NFE arrives functionally in the step metrics (the adjoint's
@@ -257,6 +270,10 @@ def main(argv=None):
             )
             tr_count = args.batch_size * len(em["acc"])
         else:
+            # Per-epoch augmentation stream, keyed on the TRUE epoch index:
+            # resume at epoch k reproduces the keys an uninterrupted run
+            # used at epoch k (one extra tiny dispatch per epoch).
+            rng = jax.random.fold_in(rng_base, epoch)
             for images, labels in train_b:
                 rng, sub = jax.random.split(rng)
                 if profile_left and step_idx == 2:  # skip compile steps
