@@ -128,7 +128,7 @@ def _load_cifar10(root: Path, split: str):
 def _synthetic(base: str, split: str, n_override: int | None = None):
     """Class-conditional images: each sample is a convex mixture of its own
     class's smooth random template and ONE random distractor class's template
-    (mixing weight up to 0.48 — the true class always dominates, so labels
+    (mixing weight uniform on [0, 0.5) — the true class always dominates, so labels
     are noise-free, but boundary samples are genuinely hard), plus a random
     spatial shift, amplitude jitter and pixel noise.  Deterministic in
     (base, split).
@@ -179,8 +179,18 @@ def _synthetic(base: str, split: str, n_override: int | None = None):
             m = (shifts[:, 0] == dy) & (shifts[:, 1] == dx)
             if m.any():
                 rolled[m] = np.roll(base_imgs[m], (dy, dx), axis=(1, 2))
-    imgs = np.clip(rolled * amps + noise, 0.0, 1.0)
-    return (imgs * 255).astype(np.uint8), labels
+    # In-place finish, bit-identical to `clip(rolled*amps + noise)`: the
+    # out-of-place form held four (n,h,w,c) f64 arrays live at once (~5 GB
+    # for the CIFAR train split — code-review r4).  The generated bytes
+    # must NOT change (every persisted accuracy claim is keyed to them), so
+    # the fix is lifetime management, not a dtype change.
+    del base_imgs
+    rolled *= amps
+    rolled += noise
+    del noise
+    np.clip(rolled, 0.0, 1.0, out=rolled)
+    rolled *= 255
+    return rolled.astype(np.uint8), labels
 
 
 def load_dataset(

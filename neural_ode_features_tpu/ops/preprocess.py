@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["normalize", "augment", "NORM_STATS"]
+__all__ = ["normalize", "augment", "normalized_black", "NORM_STATS"]
 
 # Channel statistics. MNIST follows the reference's ToTensor-only convention
 # (identity normalisation); CIFAR-10 uses the standard channel stats.
@@ -37,16 +37,33 @@ def normalize(x: jnp.ndarray, dataset: str, dtype=jnp.float32) -> jnp.ndarray:
     return (x - mean) / std
 
 
-def augment(key, x: jnp.ndarray, *, pad: int = 4, flip: bool = True) -> jnp.ndarray:
-    """Random pad-crop (zero padding, torch RandomCrop parity) + horizontal
-    flip, vectorised over the batch on device.
+def normalized_black(dataset: str, dtype=jnp.float32) -> jnp.ndarray:
+    """Per-channel value a black (0) pixel takes AFTER :func:`normalize` —
+    the correct pad fill for augmenting in normalized space."""
+    mean, std = NORM_STATS[dataset]
+    return (0.0 - jnp.asarray(mean, dtype)) / jnp.asarray(std, dtype)
+
+
+def augment(key, x: jnp.ndarray, *, pad: int = 4, flip: bool = True,
+            fill=0.0) -> jnp.ndarray:
+    """Random pad-crop + horizontal flip, vectorised over the batch on device.
 
     ``x``: float NHWC (normalise first).  One PRNG key per batch.
+
+    The torch reference crops the RAW image with zero (black) padding and
+    normalizes afterwards; since this pipeline augments post-normalize, the
+    border must be filled with the dataset's *normalized black*
+    (:func:`normalized_black`), not 0 — zero is the mean color, not black
+    (code-review r4).  Pass ``fill=normalized_black(dataset)``; the default
+    0.0 is exact only for identity stats (MNIST).
     """
     b, h, w, c = x.shape
     k_crop, k_flip = jax.random.split(key)
 
-    padded = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    fill = jnp.asarray(fill, x.dtype)
+    # Zero-pad (x - fill), add fill back: border pixels become `fill`
+    # per-channel without materialising a constant-valued pad.
+    padded = jnp.pad(x - fill, ((0, 0), (pad, pad), (pad, pad), (0, 0))) + fill
     offs = jax.random.randint(k_crop, (b, 2), 0, 2 * pad + 1)
 
     def crop_one(img, off):

@@ -12,6 +12,10 @@ throughput that bench.py's ``vs_baseline`` ratio is measured against
 Everything here is NCHW torch, host-loop stepping — deliberately the
 *reference's* execution model, not ours.  Imported lazily; the core
 framework never depends on torch.
+
+reference: torchdiffeq/_impl/dopri5.py + models/odenet.py — UNVERIFIED
+(SURVEY.md §2.2; re-implemented from the published algorithm/architecture,
+the mount is empty).
 """
 
 from __future__ import annotations
@@ -195,6 +199,15 @@ def load_jax_params_into_torch(torch_model, jax_params):
     out = {}
     for k, v in sd.items():
         prefix, leaf = k.rsplit(".", 1)
+        if prefix not in name_map:
+            # e.g. a --model resnet checkpoint ("blocks.0.norm1"): fail with
+            # the same actionable message as the res-stem guard instead of a
+            # raw KeyError (code-review r4).
+            raise ValueError(
+                f"checkpoint key '{k}' has no torch-oracle counterpart — "
+                "the oracle only implements the conv-stem ODE-Net "
+                "(use --skip-baseline or an odenet/conv checkpoint)"
+            )
         out[f"{name_map[prefix]}.{leaf}"] = torch.from_numpy(
             np.array(v, copy=True)
         )

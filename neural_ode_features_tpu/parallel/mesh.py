@@ -1,7 +1,7 @@
 """Device mesh + sharding helpers: data + model parallelism over ICI.
 
-The reference is strictly single-device (SURVEY.md §2.4); parallelism is a
-new, first-class capability of the TPU build:
+reference: none (the reference is strictly single-device — SURVEY.md §2.4);
+parallelism is a new, first-class capability of the TPU build:
 
 * **Data parallelism** — a ``data`` mesh axis over local chips, batches
   sharded along it, gradients all-reduced.  The all-reduce is *not*

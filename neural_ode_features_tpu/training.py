@@ -40,7 +40,7 @@ from .models import (
     resnet_logits,
 )
 from .models.odenet import odefunc_apply
-from .ops.preprocess import augment, normalize
+from .ops.preprocess import augment, normalize, normalized_black
 from .parallel import data_sharding, make_mesh, param_shardings, replicate
 from .solver import odeint
 
@@ -261,7 +261,8 @@ class Trainer:
         x = normalize(images_u8, self.cfg.dataset)
         if train and self.cfg.augment:
             flip = x.shape[-1] == 3  # no flip for MNIST digits
-            x = augment(rng, x, pad=4, flip=flip)
+            x = augment(rng, x, pad=4, flip=flip,
+                        fill=normalized_black(self.cfg.dataset, x.dtype))
         return x
 
     def _loss_and_logits(self, params, nfe_sink, x, labels):

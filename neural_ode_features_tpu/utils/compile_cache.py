@@ -56,6 +56,15 @@ def enable_tpu_compile_cache(cache_dir: str | None = None,
         primary = platforms.split(",")[0].strip()
         if primary == "cpu":
             return False
+        if not primary and jax.default_backend() == "cpu":
+            # jax_platforms unset (no axon sitecustomize, no pin): on a
+            # CPU-only host the default backend IS XLA:CPU, and enabling
+            # the cache there writes machine-feature-specific AOT entries
+            # into the shared dir — the cross-host SIGILL class the gates
+            # exist to prevent (code-review r4).  default_backend() is
+            # only consulted when nothing is pinned: calling it
+            # initializes backends, which an explicit pin makes moot.
+            return False
         path = cache_dir or DEFAULT_CACHE_DIR
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -97,9 +97,23 @@ class Experiment:
     # -- logging -------------------------------------------------------------
     def log(self, row: dict) -> None:
         """Append one CSV row (header written on first call; schema fixed by
-        the first row — the reference's per-epoch log.csv)."""
+        the first row — the reference's per-epoch log.csv).
+
+        The schema is ENFORCED against the existing header: a resumed run
+        (or a code change adding a column) whose keys differ would otherwise
+        write values under the wrong columns with no error (code-review r4).
+        """
         log_path = self.path / self.LOG_FILE
         new = not log_path.exists()
+        if not new:
+            with open(log_path, newline="") as f:
+                header = next(csv.reader(f), None) or []
+            if header and list(row.keys()) != header:
+                raise ValueError(
+                    f"log.csv schema mismatch: existing header {header} != "
+                    f"row keys {list(row.keys())} — the per-epoch schema is "
+                    "fixed by the first row of the run"
+                )
         with open(log_path, "a", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=list(row.keys()))
             if new:

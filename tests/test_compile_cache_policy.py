@@ -56,3 +56,18 @@ def test_refuses_cpu_pinned_process():
     # helper must refuse here both via the flag and via platform detection.
     assert compile_cache.enable_tpu_compile_cache(cpu=True) is False
     assert compile_cache.enable_tpu_compile_cache() is False
+
+
+def test_refuses_cpu_only_host_with_unset_platforms():
+    """jax_platforms unset (no axon sitecustomize, no pin) on a CPU-only
+    host: the helper must consult the default backend and refuse — enabling
+    there writes machine-feature-specific XLA:CPU AOT entries into the
+    shared cache (cross-host SIGILL class, code-review r4)."""
+    import unittest.mock as mock
+
+    import jax
+
+    with mock.patch.object(type(jax.config), "jax_platforms",
+                           new_callable=mock.PropertyMock,
+                           return_value=None, create=True):
+        assert compile_cache.enable_tpu_compile_cache() is False

@@ -99,3 +99,32 @@ def test_normalize_and_augment_on_device():
 def test_dataset_spec():
     assert dataset_spec("synthetic-cifar10")["shape"] == (32, 32, 3)
     assert dataset_spec("mnist")["n_train"] == 60_000
+
+
+def test_augment_fill_matches_raw_space_crop():
+    """Torch-parity property (code-review r4): the reference crops the RAW
+    image with black padding and normalizes after; we normalize first, so
+    the pad fill must be the dataset's normalized black.  Both orders must
+    agree exactly (normalize is affine; crop/flip are selections)."""
+    from neural_ode_features_tpu.ops.preprocess import (
+        NORM_STATS,
+        normalized_black,
+    )
+
+    x_u8 = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, (8, 32, 32, 3), np.uint8)
+    )
+    key = jax.random.PRNGKey(7)
+    ours = augment(key, normalize(x_u8, "cifar10"),
+                   fill=normalized_black("cifar10"))
+    # Reference order: crop the raw [0,1] image with zero padding, then
+    # normalize the crop.
+    raw = x_u8.astype(jnp.float32) / 255.0
+    mean, std = NORM_STATS["cifar10"]
+    ref = (augment(key, raw, fill=0.0)
+           - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # Border pixels are normalized BLACK, not zero (the mean color).
+    nb = np.asarray(normalized_black("cifar10"))
+    assert not np.allclose(nb, 0.0)

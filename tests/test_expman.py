@@ -57,3 +57,15 @@ def test_resume_same_params_refuse_different(tmp_path):
         Experiment(tmp_path, {"lr": 0.2, "seed": 4}, name=e1.name).create()
     saved = json.loads((e1.path / "params.json").read_text())
     assert saved["lr"] == 0.1
+
+
+def test_log_schema_enforced(tmp_path):
+    """A row whose keys differ from the existing header must be refused —
+    it used to append misaligned values silently (code-review r4)."""
+    e = Experiment(tmp_path, {"lr": 0.1}).create()
+    e.log({"epoch": 0, "loss": 1.5})
+    with pytest.raises(ValueError, match="schema mismatch"):
+        e.log({"epoch": 1, "loss": 1.2, "val_acc": 0.3})
+    # Matching schema still appends (incl. after reopening the run dir).
+    e.log({"epoch": 1, "loss": 1.2})
+    assert [r["loss"] for r in e.read_log()] == ["1.5", "1.2"]

@@ -84,3 +84,21 @@ def test_nfe_parity_across_tolerances(tol):
         _, nfe_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
                       rtol=tol, atol=tol)
     assert int(stats.nfe[0]) == int(nfe_t), (int(stats.nfe[0]), int(nfe_t))
+
+
+def test_oracle_rejects_unmapped_checkpoint():
+    """A --model resnet checkpoint has no torch-oracle counterpart: the
+    loader must fail with the actionable --skip-baseline message, not a raw
+    KeyError (code-review r4)."""
+    from neural_ode_features_tpu.models import ModelConfig
+    from neural_ode_features_tpu.models.resnet import init_resnet
+    from neural_ode_features_tpu.oracle.torch_ref import (
+        build_torch_odenet,
+        load_jax_params_into_torch,
+    )
+
+    cfg = ModelConfig(in_channels=1)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    tm = build_torch_odenet(in_channels=1)
+    with pytest.raises(ValueError, match="skip-baseline"):
+        load_jax_params_into_torch(tm, params)
