@@ -374,13 +374,12 @@ def inner_main(argv=None):
     cpu_dev = jax.devices("cpu")[0]
     with jax.default_device(cpu_dev):
         if args.run:
-            from pathlib import Path
+            from neural_ode_features_tpu.utils import (
+                load_checkpoint,
+                resolve_checkpoint,
+            )
 
-            from neural_ode_features_tpu.utils import load_checkpoint
-
-            run = Path(args.run)
-            ckpt = run / "ckpt_best.msgpack" if run.is_dir() else run
-            params, cfg0, _ = load_checkpoint(ckpt)
+            params, cfg0, _ = load_checkpoint(resolve_checkpoint(args.run))
             cfg = dataclasses.replace(
                 cfg0,
                 tol=args.tol,
@@ -415,13 +414,19 @@ def inner_main(argv=None):
 
     # Effective fused-RK state (the model gate silently falls back to jnp
     # for non-dopri5 / bf16 / unsupported shapes — report what actually
-    # runs, not the flag).  Stem output: 28→6×6, 32→7×7 (models/common).
-    from neural_ode_features_tpu.models.odenet import fused_rk_eligible
+    # runs, not the flag).  The ODE-state shape comes from eval_shape on
+    # the REAL stem — the old conv-stem constant (28→6, 32→7) was wrong
+    # for res-downsampling checkpoints (7/8), so the reported
+    # fused_rk/pallas flags could disagree with what ran (code-review r4).
+    from neural_ode_features_tpu.models.odenet import (
+        fused_rk_eligible,
+        stem_apply,
+    )
 
-    hidden_side = 6 if side == 28 else 7
-    fused_rk_active = fused_rk_eligible(
-        cfg, (args.batch_size, hidden_side, hidden_side, cfg.hidden),
-        jnp.float32)
+    hidden_shape = tuple(jax.eval_shape(
+        lambda p, v: stem_apply(p, v, cfg), params["stem"],
+        jax.ShapeDtypeStruct(x_np.shape, jnp.float32)).shape)
+    fused_rk_active = fused_rk_eligible(cfg, hidden_shape, jnp.float32)
     if args.fused_rk and not fused_rk_active:
         log("NOTE: --fused-rk requested but the model gate falls back to "
             "the jnp path for this config (method/dtype/shape)")
@@ -437,10 +442,7 @@ def inner_main(argv=None):
         args.pallas
         and cfg.compute_dtype == "float32"
         and pallas_supported(
-            jax.ShapeDtypeStruct(
-                (args.batch_size, hidden_side, hidden_side, cfg.hidden),
-                jnp.float32,
-            ),
+            jax.ShapeDtypeStruct(hidden_shape, jnp.float32),
             cfg.groups,
         )
     )
@@ -596,11 +598,18 @@ def inner_main(argv=None):
 
         def time_pass(idx):
             dts, nfe = [], 0.0
-            for _ in range(reps):
+            for i in range(reps):
                 t0 = time.perf_counter()
                 out = run_pool(params, x_pool, idx)
                 nfe = float(jax.device_get(out))
                 dts.append(max(time.perf_counter() - t0 - overhead, 1e-9))
+                if i == 0:
+                    # Value-bearing milestone, like the non-pool branch's
+                    # "first-timing": a watchdog kill mid-timing salvages a
+                    # real value instead of null (code-review r4).
+                    milestone("first-timing",
+                              value=round(pool_n / dts[0], 2),
+                              mean_nfe=round(nfe, 1))
             return dts, nfe
 
         float(jax.device_get(run_pool(params, x_pool, idx0)))  # compile

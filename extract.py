@@ -91,6 +91,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from neural_ode_features_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache(cpu=args.cpu)  # gated (utils/compile_cache.py)
     import h5py
     import jax.numpy as jnp
 

@@ -131,7 +131,8 @@ struct Npy {
 // Non-fatal reader: returns false with `err` set. The persistent serve
 // loop must answer ERR on a malformed request, never exit (requests can
 // arrive truncated mid-write).
-bool try_npy_read(const std::string& path, Npy& out, std::string& err) {
+static bool try_npy_read_impl(const std::string& path, Npy& out,
+                              std::string& err) {
   std::ifstream f(path, std::ios::binary);
   if (!f) { err = "cannot open " + path; return false; }
   char magic[8];
@@ -197,10 +198,38 @@ bool try_npy_read(const std::string& path, Npy& out, std::string& err) {
   }
   if (out.descr.size() < 3) { err = path + ": malformed descr"; return false; }
   size_t itemsize = std::stoul(out.descr.substr(2));
-  out.data.resize(out.elems() * itemsize);
+  // Overflow-checked byte count with a hard cap: a hostile shape like
+  // (9999999999,9999999999) must answer ERR, not throw bad_alloc (or
+  // silently wrap around) on resize.
+  constexpr size_t kMaxBytes = size_t(1) << 31;  // 2 GiB
+  size_t bytes = itemsize;
+  if (bytes == 0 || bytes > kMaxBytes) {
+    err = path + ": malformed descr itemsize";
+    return false;
+  }
+  for (int64_t dim : out.shape) {
+    if (dim < 0 || (dim > 0 && bytes > kMaxBytes / static_cast<size_t>(dim))) {
+      err = path + ": shape too large";
+      return false;
+    }
+    bytes *= static_cast<size_t>(dim);
+  }
+  out.data.resize(bytes);
   f.read(out.data.data(), static_cast<std::streamsize>(out.data.size()));
   if (!f) { err = path + ": truncated data"; return false; }
   return true;
+}
+
+bool try_npy_read(const std::string& path, Npy& out, std::string& err) {
+  // Exception firewall for the never-exit serve loops: std::stoul/stoll on
+  // hostile header text and vector::resize can throw; an escape here would
+  // std::terminate the whole multi-client server (code-review r4).
+  try {
+    return try_npy_read_impl(path, out, err);
+  } catch (const std::exception& e) {
+    err = path + ": malformed npy (" + std::string(e.what()) + ")";
+    return false;
+  }
 }
 
 Npy npy_read(const std::string& path) {

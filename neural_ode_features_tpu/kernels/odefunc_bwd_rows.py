@@ -45,7 +45,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .odefunc_pallas import _group_assign
+from .odefunc_pallas import VMEM_BUDGET, _group_assign, bwd_tile_bytes
 from .rk_step_pallas import _ones_time_map, _seg_matrix
 
 __all__ = ["odefunc_bwd_rows"]
@@ -232,14 +232,23 @@ def _bwd_rows_kernel(
                             dt_ref.dtype)
 
 
-def _pick_tile_bwd(b: int) -> int:
-    """Batch tile for the backward: ~25 live (m, C) row buffers at C→128
-    lanes put tb=16 near the 16 MB scoped-VMEM stack; tb=8 is comfortably
-    inside (measured headroom pattern from the rows RK-step kernel, which
-    overflowed by 20 KB at tb=32 with a comparable working set)."""
+def _pick_tile_bwd(b: int, rows_per: int, c: int) -> int:
+    """Batch tile for the backward: ~25 live (m, C) row buffers + the
+    (m, 9C) patch scratch; at the flagship 7×7×64 state tb=8 is comfortably
+    inside the 16 MB scoped-VMEM stack (measured headroom pattern from the
+    rows RK-step kernel, which overflowed by 20 KB at tb=32 with a
+    comparable working set).  The cap alone was NOT enough: at e.g.
+    28×28×64 even tb=8 holds a ~14 MB patch scratch — shrink by the shared
+    VMEM budget until the working set fits (code-review r4;
+    pallas_supported gates on the tb=1 bound so this always terminates in
+    a usable tile)."""
     tb = min(8, b)
     while b % tb:
         tb -= 1
+    while tb > 1 and bwd_tile_bytes(tb, rows_per, c) > VMEM_BUDGET:
+        tb = max(1, tb // 2)
+        while b % tb:
+            tb -= 1
     return tb
 
 
@@ -262,7 +271,7 @@ def odefunc_bwd_rows(params, t, h, g, *, groups: int, hw, interpret: bool):
     m1 = _ones_time_map(w1, hh, ww).reshape(rows_per, c)
     m2 = _ones_time_map(w2, hh, ww).reshape(rows_per, c)
 
-    tb = _pick_tile_bwd(b)
+    tb = _pick_tile_bwd(b, rows_per, c)
     m_block = tb * rows_per
     grid = (b // tb,)
     m1t = jnp.tile(m1, (tb, 1))

@@ -9,7 +9,16 @@ for a batch tile entirely in VMEM: the feature map is loaded from HBM once
 and written once per stage evaluation, instead of round-tripping between the
 seven XLA fusions the jnp path lowers to.  The 3×3 convs are expressed as
 nine shifted (TB·H·W, C+1) @ (C+1, C) matmuls on the MXU with fp32
-accumulation; GroupNorm statistics are computed in fp32 on the VPU.
+accumulation and Mosaic's default bf16 multiplies — deliberately, that IS
+parity with the production jnp path (XLA convs default to bf16 multiplies
+on TPU).  GroupNorm statistics, by contrast, are strict fp32: their
+assignment matmuls pin ``Precision.HIGHEST``, because Mosaic's default
+would round the f32 channel sums to bf16 in the 0/1-matrix multiply
+(code-review r4; same trap class as the r4 solver-precision incident).
+
+reference: torchdiffeq has no kernel counterpart — this implements
+BASELINE.json's "fused ODEfunc kernel" north star (SURVEY.md §2.3
+UNVERIFIED).
 
 Scope: forward AND backward.  :func:`odefunc_pallas_vjp` pairs the forward
 kernel with a fused backward kernel (``jax.custom_vjp``): the backward
@@ -58,19 +67,23 @@ def _group_norm_in_kernel(h, scale, bias, groups, eps=1e-5):
 
     h32 = h.astype(jnp.float32)
     s_c = jnp.sum(h32, axis=(1, 2))  # (TB, C)
-    s_g = jnp.dot(s_c, assign, preferred_element_type=jnp.float32)  # (TB, G)
+    s_g = jnp.dot(s_c, assign, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # (TB, G)
     mean_g = s_g / n
     # Centered variance (matches jnp.var): the one-pass E[x²]−E[x]² form
     # cancels catastrophically in fp32 when |mean| ≫ std and can round
     # negative, turning rsqrt into NaN.
-    mean_bc = jnp.dot(mean_g, assign.T, preferred_element_type=jnp.float32)
+    mean_bc = jnp.dot(mean_g, assign.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     d = h32 - mean_bc[:, None, None, :]
     s2_c = jnp.sum(d * d, axis=(1, 2))
-    var_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32) / n
+    var_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST) / n
     inv_g = jax.lax.rsqrt(var_g + eps)  # (TB, G)
 
     # Broadcast group stats back to channels: (TB, G) @ (G, C).
-    inv_c = jnp.dot(inv_g, assign.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, assign.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     out = d * inv_c[:, None, None, :]
     return out * scale + bias
 
@@ -118,6 +131,20 @@ def _odefunc_kernel(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+# Shared VMEM budget policy (forward tile picker here, backward tile picker
+# in odefunc_bwd_rows.py — which imports these to stay in sync): leave
+# headroom below Mosaic's ~16 MiB scoped-VMEM stack.
+VMEM_BUDGET = 6 * 1024 * 1024
+# Backward rows-kernel working set per (tile·H·W) row: one (m, 9C) patch
+# scratch (= 9 C-columns) + ~25 live (m, C) row buffers.
+BWD_ROW_BUFFERS = 34
+
+
+def bwd_tile_bytes(tb: int, rows_per: int, c: int) -> int:
+    """Backward rows-kernel VMEM working set for a batch tile of ``tb``."""
+    return tb * rows_per * BWD_ROW_BUFFERS * c * 4
+
+
 def _pick_tile(b: int, hh: int, ww: int, c: int, copies: int = 6) -> int:
     """Largest batch tile ≤64 dividing B whose working set fits a VMEM
     budget (``copies`` live (TB, H+2, W+2, C+1) fp32 buffers: ≈6 for the
@@ -143,7 +170,13 @@ def pallas_supported(h: jnp.ndarray, groups: int) -> bool:
     b, hh, ww, c = h.shape
     if c % groups or c > 512:
         return False
-    return 6 * (hh + 2) * (ww + 2) * (c + 1) * 4 <= 6 * 1024 * 1024
+    if 6 * (hh + 2) * (ww + 2) * (c + 1) * 4 > VMEM_BUDGET:
+        return False
+    # The VJP pair installs the BACKWARD rows kernel too, whose working set
+    # is much larger per row — gate on its minimum (tb=1) tile as well, or
+    # a big H·W·C state passes here and then stack-OOMs at Mosaic compile
+    # time during training (code-review r4).
+    return bwd_tile_bytes(1, hh * ww, c) <= VMEM_BUDGET
 
 
 def odefunc_pallas(

@@ -82,17 +82,25 @@ def _group_norm_rows(h, scale, bias, groups, seg, segT, rows_per, eps=1e-5):
     n = rows_per * gsize
     assign = _group_assign(c, groups)  # (C, G)
 
-    s_c = jnp.dot(seg, h, preferred_element_type=jnp.float32)  # (TB, C)
-    s_g = jnp.dot(s_c, assign, preferred_element_type=jnp.float32)
+    s_c = jnp.dot(seg, h, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)  # (TB, C)
+    s_g = jnp.dot(s_c, assign, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
     mean_g = s_g / n
-    mean_c = jnp.dot(mean_g, assign.T, preferred_element_type=jnp.float32)
-    mean_rows = jnp.dot(segT, mean_c, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean_g, assign.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+    mean_rows = jnp.dot(segT, mean_c, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
     d = h - mean_rows
-    s2_c = jnp.dot(seg, d * d, preferred_element_type=jnp.float32)
-    var_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32) / n
+    s2_c = jnp.dot(seg, d * d, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+    var_g = jnp.dot(s2_c, assign, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST) / n
     inv_g = jax.lax.rsqrt(var_g + eps)  # (TB, G)
-    inv_c = jnp.dot(inv_g, assign.T, preferred_element_type=jnp.float32)
-    inv_rows = jnp.dot(segT, inv_c, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, assign.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+    inv_rows = jnp.dot(segT, inv_c, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
     return d * inv_rows * scale + bias
 
 
@@ -108,6 +116,7 @@ def _conv3x3_rows(h, w2_ref, hw, strategy: str, mxu_dtype, patch_ref):
     y_pos = (r // ww) % hh
     x_pos = r % ww
     w_c = w2_ref[:].astype(mxu_dtype)
+    prec = lax.Precision.HIGHEST if mxu_dtype == jnp.float32 else None
 
     def tap(ky, kx):
         off = (ky - 1) * ww + (kx - 1)
@@ -121,7 +130,7 @@ def _conv3x3_rows(h, w2_ref, hw, strategy: str, mxu_dtype, patch_ref):
         prods = [
             jnp.dot(tap(ky, kx).astype(mxu_dtype),
                     w_c[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
             for ky in range(3) for kx in range(3)
         ]
         while len(prods) > 1:
@@ -133,7 +142,8 @@ def _conv3x3_rows(h, w2_ref, hw, strategy: str, mxu_dtype, patch_ref):
             for kx in range(3):
                 k = ky * 3 + kx
                 patch_ref[:, k * c:(k + 1) * c] = tap(ky, kx).astype(mxu_dtype)
-        return jnp.dot(patch_ref[:], w_c, preferred_element_type=jnp.float32)
+        return jnp.dot(patch_ref[:], w_c, preferred_element_type=jnp.float32,
+                       precision=prec)
     raise ValueError(f"unknown rows conv strategy {strategy!r}")
 
 
@@ -213,11 +223,12 @@ def _rk_step_kernel_rows(
     # error down to (TB, C), then a ones-matmul over channels.
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     r2 = jnp.square(err / scale)
-    s_c = jnp.dot(seg, r2, preferred_element_type=jnp.float32)  # (TB, C)
+    s_c = jnp.dot(seg, r2, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)  # (TB, C)
     c = y0.shape[1]
     ones_col = jnp.ones((c, 1), jnp.float32)
-    mean_r2 = jnp.dot(s_c, ones_col,
-                      preferred_element_type=jnp.float32) / (rows_per * c)
+    mean_r2 = jnp.dot(s_c, ones_col, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST) / (rows_per * c)
     ratio = jnp.sqrt(mean_r2 + jnp.finfo(jnp.float32).tiny)  # (TB, 1)
 
     y1_ref[:] = y1.astype(y1_ref.dtype)
@@ -239,6 +250,7 @@ def _conv3x3_in_kernel(h, w_ref, strategy: str, mxu_dtype):
     m = tb * hh * ww
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     cast = lambda z: z.astype(mxu_dtype)
+    prec = lax.Precision.HIGHEST if mxu_dtype == jnp.float32 else None
 
     if strategy == "im2col":
         pieces = [
@@ -247,14 +259,15 @@ def _conv3x3_in_kernel(h, w_ref, strategy: str, mxu_dtype):
         ]
         patches = jnp.concatenate(pieces, axis=1)  # (m, 9C)
         out = jnp.dot(cast(patches), cast(w_ref[:].reshape(9 * c, c)),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
     elif strategy == "tree9":
         prods = []
         for ky in range(3):
             for kx in range(3):
                 patch = hp[:, ky:ky + hh, kx:kx + ww, :].reshape(m, c)
                 prods.append(jnp.dot(cast(patch), cast(w_ref[ky, kx]),
-                                     preferred_element_type=jnp.float32))
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec))
         while len(prods) > 1:
             paired = [a + b for a, b in zip(prods[::2], prods[1::2])]
             if len(prods) % 2:
@@ -271,7 +284,7 @@ def _conv3x3_in_kernel(h, w_ref, strategy: str, mxu_dtype):
             return acc + jnp.dot(
                 cast(patch),
                 cast(lax.dynamic_index_in_dim(w9, k, keepdims=False)),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
 
         out = lax.fori_loop(0, 9, body, jnp.zeros((m, c), jnp.float32))
     else:
@@ -352,8 +365,8 @@ def _rk_step_kernel(
     s_c = jnp.sum(r2, axis=(1, 2))  # (TB, C)
     ones_col = jnp.ones((c, 1), jnp.float32)
     n = hh * ww * c
-    mean_r2 = jnp.dot(s_c, ones_col,
-                      preferred_element_type=jnp.float32) / n  # (TB, 1)
+    mean_r2 = jnp.dot(s_c, ones_col, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST) / n  # (TB, 1)
     ratio = jnp.sqrt(mean_r2 + jnp.finfo(jnp.float32).tiny)
 
     y1_ref[:] = y1.astype(y1_ref.dtype)

@@ -66,8 +66,11 @@ class ODEBlock:
         cfg = self.config
         final_only = ts is None
         ts = jnp.asarray([0.0, 1.0] if final_only else ts, h0.dtype)
+        # Honor config.adjoint like ODENet does — the module docstring's
+        # jax.grad recipe ("construct the config with adjoint=True") was
+        # silently ignored for this class (code-review r4).
         traj, stats = _solve({"odefunc": self.params}, h0, ts, cfg,
-                             adjoint=False)
+                             adjoint=cfg.adjoint)
         return (traj[-1] if final_only else traj), stats
 
 

@@ -4,6 +4,7 @@ from .compile_cache import enable_tpu_compile_cache
 from .checkpoint import (
     from_torch_state_dict,
     load_checkpoint,
+    resolve_checkpoint,
     save_checkpoint,
     to_torch_state_dict,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "count_parameters",
     "save_checkpoint",
     "load_checkpoint",
+    "resolve_checkpoint",
     "to_torch_state_dict",
     "from_torch_state_dict",
 ]

@@ -49,9 +49,29 @@ from ..models.common import ModelConfig
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "resolve_checkpoint",
     "to_torch_state_dict",
     "from_torch_state_dict",
 ]
+
+
+def resolve_checkpoint(path: str | Path,
+                       name: str = "ckpt_best.msgpack") -> Path:
+    """Resolve a CLI ``--run`` argument to a checkpoint file.
+
+    Accepts either a checkpoint file (returned as-is) or a run directory —
+    inside one, prefer ``name`` and fall back to ``ckpt_last.msgpack`` when
+    it is missing (a run interrupted before its first eval never wrote a
+    "best").  The ONE place this policy lives: eval_ckpt/bench/sweep/
+    export_model previously each had a hand-rolled copy with diverging
+    fallbacks (code-review r4)."""
+    p = Path(path)
+    if p.is_dir():
+        ckpt = p / name
+        if not ckpt.exists():
+            ckpt = p / "ckpt_last.msgpack"
+        return ckpt
+    return p
 
 
 def save_checkpoint(path: str | Path, params: Any, cfg: ModelConfig,

@@ -66,6 +66,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from neural_ode_features_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache(cpu=args.cpu)  # gated (utils/compile_cache.py)
     import dataclasses
 
     import jax.numpy as jnp
@@ -78,11 +81,12 @@ def main(argv=None):
     )
 
     if args.run:
-        from neural_ode_features_tpu.utils import load_checkpoint
+        from neural_ode_features_tpu.utils import (
+            load_checkpoint,
+            resolve_checkpoint,
+        )
 
-        run = Path(args.run)
-        ckpt = run / "ckpt_best.msgpack" if run.is_dir() else run
-        params, cfg0, extra = load_checkpoint(ckpt)
+        params, cfg0, extra = load_checkpoint(resolve_checkpoint(args.run))
         dataset = args.dataset or extra.get("train", {}).get("dataset")
     else:
         cfg0 = ModelConfig(in_channels=3)

@@ -217,3 +217,24 @@ def test_bfloat16_adjoint_training_grads():
 
     n16, n32 = gnorm(cfg16), gnorm(cfg32)
     assert abs(n16 - n32) / n32 < 0.15, (n16, n32)
+
+
+def test_odeblock_honors_config_adjoint():
+    """api.py's documented jax.grad recipe ('construct the config with
+    adjoint=True') must work for ODEBlock too — it silently forced
+    adjoint=False before (code-review r4)."""
+    import jax
+
+    from neural_ode_features_tpu.models import ModelConfig, ODEBlock, ODENet
+
+    cfg = ModelConfig(in_channels=1, hidden=32, groups=8, tol=1e-2,
+                      adjoint=True)
+    net = ODENet.create(jax.random.PRNGKey(0), cfg)
+    blk = ODEBlock(net.params["odefunc"], cfg)
+    h0 = jnp.ones((2, 6, 6, 32), jnp.float32) * 0.1
+
+    # Reverse-differentiable only via the adjoint path (the plain forward
+    # is a lax.while_loop).
+    g = jax.grad(lambda h: jnp.sum(blk(h)[0] ** 2))(h0)
+    assert g.shape == h0.shape
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0

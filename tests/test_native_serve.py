@@ -629,3 +629,55 @@ def test_serve_client_tcp_end_to_end(binary, mock_artifact):
         capture_output=True, text=True, timeout=120)
     assert p.returncode == 0, p.stdout + p.stderr
     assert "max|diff|=0.000e+00" in p.stdout
+
+
+def test_hostile_npy_headers_answer_err(binary, mock_artifact, tmp_path):
+    """Malformed .npy headers that make std::stoul/stoll throw or request
+    absurd allocations must answer ERR and leave the server alive — an
+    escaped exception used to std::terminate the whole process
+    (code-review r4: try_npy_read exception firewall + size cap)."""
+
+    def hostile_npy(name: str, header: str) -> str:
+        body = header.encode()
+        pad = (64 - (10 + len(body)) % 64) % 64
+        body += b" " * pad + b"\n"
+        raw = b"\x93NUMPY\x01\x00" + len(body).to_bytes(2, "little") + body
+        p = tmp_path / name
+        p.write_bytes(raw + b"\x00" * 16)
+        return str(p)
+
+    cases = [
+        hostile_npy("bad_descr.npy",
+                    "{'descr': '<fa', 'fortran_order': False, "
+                    "'shape': (3, 4), }"),
+        hostile_npy("huge_digits.npy",
+                    "{'descr': '<f4', 'fortran_order': False, "
+                    "'shape': (99999999999999999999,), }"),
+        hostile_npy("overflow_shape.npy",
+                    "{'descr': '<f4', 'fortran_order': False, "
+                    "'shape': (9999999999, 9999999999), }"),
+    ]
+
+    proc = subprocess.Popen(
+        [str(binary), str(mock_artifact), "--serve",
+         "--plugin", str(MOCK_PLUGIN)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1)
+    try:
+        assert proc.stdout.readline().strip() == "READY"
+        for path in cases:
+            proc.stdin.write(f"{path} {tmp_path / 'o.npy'}\n")
+            resp = proc.stdout.readline()
+            assert resp.startswith("ERR "), resp
+            assert proc.poll() is None, "server died on hostile npy"
+        # Still serves a good request afterwards.
+        x = np.zeros(IN_SHAPE, np.float32)
+        in_p, out_p = tmp_path / "good.npy", tmp_path / "good_out.npy"
+        np.save(in_p, x)
+        proc.stdin.write(f"{in_p} {out_p}\n")
+        assert proc.stdout.readline().startswith("OK ")
+        proc.stdin.write("quit\n")
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -143,3 +143,28 @@ def test_pallas_adjoint_training_gradients():
     cos = float(np.dot(fp, fj) / (np.linalg.norm(fp) * np.linalg.norm(fj)))
     assert rel_l2 < 1e-2, rel_l2
     assert cos > 0.9999, cos
+
+
+def test_pallas_gate_covers_backward_working_set():
+    """pallas_supported must budget the BACKWARD rows kernel too: a large
+    H*W*C state used to pass the forward-only gate and then stack-OOM at
+    Mosaic compile time during training (code-review r4)."""
+    from neural_ode_features_tpu.kernels.odefunc_pallas import (
+        VMEM_BUDGET,
+        bwd_tile_bytes,
+    )
+    from neural_ode_features_tpu.kernels.odefunc_bwd_rows import (
+        _pick_tile_bwd,
+    )
+
+    flagship = jax.ShapeDtypeStruct((8, 7, 7, 64), jnp.float32)
+    assert pallas_supported(flagship, 32)
+    big = jax.ShapeDtypeStruct((8, 28, 28, 64), jnp.float32)
+    assert bwd_tile_bytes(1, 28 * 28, 64) > VMEM_BUDGET
+    assert not pallas_supported(big, 32)
+
+    # The tile picker shrinks with the working set instead of a blind cap.
+    assert _pick_tile_bwd(8, 7 * 7, 64) == 8
+    assert _pick_tile_bwd(8, 14 * 14, 512) == 1
+    assert bwd_tile_bytes(_pick_tile_bwd(8, 8 * 8, 512), 64, 512) \
+        <= VMEM_BUDGET

@@ -54,11 +54,12 @@ def main(argv=None):
     from neural_ode_features_tpu.models import odenet_trajectory
     from neural_ode_features_tpu.models.common import head_apply
     from neural_ode_features_tpu.ops.preprocess import normalize
-    from neural_ode_features_tpu.utils import load_checkpoint
+    from neural_ode_features_tpu.utils import (
+        load_checkpoint,
+        resolve_checkpoint,
+    )
 
-    run = Path(args.run)
-    ckpt = run / "ckpt_best.msgpack" if run.is_dir() else run
-    params, cfg0, _ = load_checkpoint(ckpt)
+    params, cfg0, _ = load_checkpoint(resolve_checkpoint(args.run))
     cfg = dataclasses.replace(
         cfg0, method=args.solver, tol=args.tol, adjoint=False,
         error_control="per_sample",

@@ -43,12 +43,13 @@ sys.path.insert(0, str(ROOT))
 
 
 def _load(run_dir: Path, ckpt_name: str):
-    from neural_ode_features_tpu.utils.checkpoint import load_checkpoint
+    from neural_ode_features_tpu.utils.checkpoint import (
+        load_checkpoint,
+        resolve_checkpoint,
+    )
 
-    ckpt = run_dir / ckpt_name
-    if not ckpt.exists():  # fall back to last
-        ckpt = run_dir / "ckpt_last.msgpack"
-    params, cfg, extra = load_checkpoint(ckpt)
+    params, cfg, extra = load_checkpoint(
+        resolve_checkpoint(run_dir, name=ckpt_name))
     return params, cfg, extra
 
 

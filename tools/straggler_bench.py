@@ -208,6 +208,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from neural_ode_features_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache(cpu=args.cpu)  # gated (utils/compile_cache.py)
     result = run_bench(pool=args.pool, batch_size=args.batch_size,
                        dim=args.dim, lambda_max=args.lambda_max,
                        tol=args.tol, reps=args.reps,
