@@ -596,7 +596,12 @@ def inner_main(argv=None):
             n_batches, args.batch_size
         )
 
-        def time_pass(idx):
+        def time_pass(idx, extra_dt=0.0):
+            # extra_dt: per-pass cost already paid outside this loop (the
+            # NFE probe before a sorted pass) — the salvage milestone must
+            # include it, or a watchdog kill mid-sorted-timing reports a
+            # probe-free img/s the completed run would never print
+            # (code-review r4, second pass).
             dts, nfe = [], 0.0
             for i in range(reps):
                 t0 = time.perf_counter()
@@ -608,7 +613,7 @@ def inner_main(argv=None):
                     # "first-timing": a watchdog kill mid-timing salvages a
                     # real value instead of null (code-review r4).
                     milestone("first-timing",
-                              value=round(pool_n / dts[0], 2),
+                              value=round(pool_n / (dts[0] + extra_dt), 2),
                               mean_nfe=round(nfe, 1))
             return dts, nfe
 
@@ -648,7 +653,7 @@ def inner_main(argv=None):
             idx_sorted = jnp.asarray(order.reshape(n_batches,
                                                    args.batch_size))
             float(jax.device_get(run_pool(params, x_pool, idx_sorted)))
-            dts_sorted, mean_nfe = time_pass(idx_sorted)
+            dts_sorted, mean_nfe = time_pass(idx_sorted, extra_dt=probe_dt)
             dt_sorted = min(dts_sorted)
             # Honest accounting: the probe is real work — the headline
             # sorted throughput includes it, amortised over one pool pass.

@@ -137,7 +137,7 @@ def main(argv=None):
         sel = rng.permutation(feats.shape[1])[: args.limit]
         feats, labels = feats[:, sel], labels[sel]
 
-    metrics = tuple(args.metrics.split(","))
+    metrics = tuple(m.strip() for m in args.metrics.split(","))
     unknown = [m for m in metrics if m not in ("linear", "knn", "map")]
     if unknown:
         # An unrecognized token used to be a silent no-op: rows printed with

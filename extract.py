@@ -105,10 +105,12 @@ def main(argv=None):
         pool_features,
         resnet_block_states,
     )
-    from neural_ode_features_tpu.utils import load_checkpoint
+    from neural_ode_features_tpu.utils import (
+        load_checkpoint,
+        resolve_checkpoint,
+    )
 
-    run = Path(args.run)
-    ckpt_path = run / args.ckpt if run.is_dir() else run
+    ckpt_path = resolve_checkpoint(args.run, name=args.ckpt)
     run_dir = ckpt_path.parent
 
     # Model family from checkpoint metadata.

@@ -164,19 +164,19 @@ def pallas_supported(h: jnp.ndarray, groups: int) -> bool:
     """The kernel covers the reference architecture family: NHWC maps with
     channels divisible by groups and a batch tile whose working set fits in
     VMEM (the tile shrinks automatically; reject only if even tb=1 would
-    blow the budget)."""
+    blow the budget).
+
+    Gates on the FORWARD working set only: shapes whose backward rows
+    kernel would not fit (``bwd_tile_bytes(1, ...) > VMEM_BUDGET``) still
+    dispatch the forward here — differentiation through them takes the jnp
+    backward fallback in ``_vjp_bwd`` instead of stack-OOMing at Mosaic
+    compile time (code-review r4, both directions)."""
     if h.ndim != 4:
         return False
     b, hh, ww, c = h.shape
     if c % groups or c > 512:
         return False
-    if 6 * (hh + 2) * (ww + 2) * (c + 1) * 4 > VMEM_BUDGET:
-        return False
-    # The VJP pair installs the BACKWARD rows kernel too, whose working set
-    # is much larger per row — gate on its minimum (tb=1) tile as well, or
-    # a big H·W·C state passes here and then stack-OOMs at Mosaic compile
-    # time during training (code-review r4).
-    return bwd_tile_bytes(1, hh * ww, c) <= VMEM_BUDGET
+    return 6 * (hh + 2) * (ww + 2) * (c + 1) * 4 <= VMEM_BUDGET
 
 
 def odefunc_pallas(
@@ -262,10 +262,34 @@ def _vjp_fwd(params, t, h, groups, interpret):
     return out, (params, t, h)
 
 
+def _jnp_odefunc(params, t, h, groups):
+    """Pure-jnp mirror of the kernel's dynamics (GN→ReLU→concat-conv ×2 →
+    GN), used only to derive the backward when the rows kernel's working
+    set does not fit VMEM.  Kept in lockstep with models/odenet.py's f32
+    path (tests/test_pallas.py asserts gradient equality through it)."""
+    from ..ops.layers import concat_conv2d, group_norm
+
+    out = jax.nn.relu(group_norm(params["norm1"], h, groups=groups))
+    out = concat_conv2d(params["conv1"], t, out, padding=1)
+    out = jax.nn.relu(group_norm(params["norm2"], out, groups=groups))
+    out = concat_conv2d(params["conv2"], t, out, padding=1)
+    return group_norm(params["norm3"], out, groups=groups)
+
+
 def _vjp_bwd(groups, interpret, residuals, g):
     params, t, h = residuals
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    _, hh, ww, c = h.shape
+    if bwd_tile_bytes(1, hh * ww, c) > VMEM_BUDGET:
+        # The backward rows kernel cannot fit even a tb=1 tile for this
+        # state (e.g. 28×28 maps): differentiate the mathematically-equal
+        # jnp dynamics instead of OOMing Mosaic's scoped-VMEM stack.  The
+        # forward stays fused; gradients match the kernel pair to f32
+        # roundoff (same contraction order as the jnp reference).
+        _, pullback = jax.vjp(
+            lambda p, tt, x: _jnp_odefunc(p, tt, x, groups), params, t, h)
+        return pullback(g)
     from .odefunc_bwd_rows import odefunc_bwd_rows
 
     dparams, dt_b, dx = odefunc_bwd_rows(

@@ -63,8 +63,8 @@ def resolve_checkpoint(path: str | Path,
     inside one, prefer ``name`` and fall back to ``ckpt_last.msgpack`` when
     it is missing (a run interrupted before its first eval never wrote a
     "best").  The ONE place this policy lives: eval_ckpt/bench/sweep/
-    export_model previously each had a hand-rolled copy with diverging
-    fallbacks (code-review r4)."""
+    export_model/extract/parity_eval previously each had a hand-rolled copy
+    with diverging fallbacks (code-review r4)."""
     p = Path(path)
     if p.is_dir():
         ckpt = p / name

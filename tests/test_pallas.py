@@ -145,13 +145,18 @@ def test_pallas_adjoint_training_gradients():
     assert cos > 0.9999, cos
 
 
-def test_pallas_gate_covers_backward_working_set():
-    """pallas_supported must budget the BACKWARD rows kernel too: a large
-    H*W*C state used to pass the forward-only gate and then stack-OOM at
-    Mosaic compile time during training (code-review r4)."""
+def test_pallas_gate_forward_only_with_jnp_bwd_fallback():
+    """A large H*W*C state whose BACKWARD rows kernel cannot fit VMEM must
+    (a) still pass pallas_supported — the forward fits, so inference keeps
+    the fused kernel (code-review r4: the old bwd-budget gate silently
+    slowed forward-only extract/bench for these shapes) — and (b) remain
+    differentiable via the jnp backward fallback in _vjp_bwd instead of
+    stack-OOMing Mosaic at train time, with gradients matching the jnp
+    reference."""
     from neural_ode_features_tpu.kernels.odefunc_pallas import (
         VMEM_BUDGET,
         bwd_tile_bytes,
+        odefunc_pallas_vjp,
     )
     from neural_ode_features_tpu.kernels.odefunc_bwd_rows import (
         _pick_tile_bwd,
@@ -161,10 +166,34 @@ def test_pallas_gate_covers_backward_working_set():
     assert pallas_supported(flagship, 32)
     big = jax.ShapeDtypeStruct((8, 28, 28, 64), jnp.float32)
     assert bwd_tile_bytes(1, 28 * 28, 64) > VMEM_BUDGET
-    assert not pallas_supported(big, 32)
+    assert pallas_supported(big, 32)  # forward fits; bwd takes the fallback
 
     # The tile picker shrinks with the working set instead of a blind cap.
     assert _pick_tile_bwd(8, 7 * 7, 64) == 8
     assert _pick_tile_bwd(8, 14 * 14, 512) == 1
     assert bwd_tile_bytes(_pick_tile_bwd(8, 8 * 8, 512), 64, 512) \
         <= VMEM_BUDGET
+
+    # (b) gradients through the fallback path == jnp reference.
+    cfg = ModelConfig(in_channels=1)
+    params = init_odenet(jax.random.PRNGKey(13), cfg)["odefunc"]
+    h = jax.random.normal(jax.random.PRNGKey(14), (2, 28, 28, 64),
+                          jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(15), h.shape, jnp.float32)
+    t = jnp.asarray(0.31)
+
+    def loss_pallas(p, tt, hh):
+        return jnp.sum(odefunc_pallas_vjp(p, tt, hh, 32, True) * g)
+
+    def loss_jnp(p, tt, hh):
+        return jnp.sum(odefunc_apply(p, tt, hh, cfg) * g)
+
+    gp, gt, gh = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, t, h)
+    rp, rt, rh = jax.grad(loss_jnp, argnums=(0, 1, 2))(params, t, h)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(rh),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(gt), float(rt), rtol=2e-4, atol=1e-5)
+    flat_g = jax.flatten_util.ravel_pytree(gp)[0]
+    flat_r = jax.flatten_util.ravel_pytree(rp)[0]
+    np.testing.assert_allclose(np.asarray(flat_g), np.asarray(flat_r),
+                               rtol=3e-4, atol=3e-4)

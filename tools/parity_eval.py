@@ -63,10 +63,12 @@ def main(argv=None):
         build_torch_odenet,
         load_jax_params_into_torch,
     )
-    from neural_ode_features_tpu.utils import load_checkpoint
+    from neural_ode_features_tpu.utils import (
+        load_checkpoint,
+        resolve_checkpoint,
+    )
 
-    run = Path(args.run)
-    ckpt_path = run / args.ckpt if run.is_dir() else run
+    ckpt_path = resolve_checkpoint(args.run, name=args.ckpt)
     params, cfg0, extra = load_checkpoint(ckpt_path)
     dataset = extra.get("train", {}).get("dataset") or (
         "mnist" if cfg0.in_channels == 1 else "cifar10"
