@@ -12,13 +12,16 @@ per-sample adaptive stepping.  Public surface:
 
 from .adjoint import odeint_adjoint, set_backward_nfe_tap
 from .dense import DenseSolution, odeint_dense
+from .event import EventSolution, odeint_event
 from .odeint import SOLVERS, SolveStats, odeint
 
 __all__ = [
     "odeint",
     "odeint_adjoint",
     "odeint_dense",
+    "odeint_event",
     "DenseSolution",
+    "EventSolution",
     "set_backward_nfe_tap",
     "SolveStats",
     "SOLVERS",

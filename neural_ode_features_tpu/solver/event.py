@@ -1,0 +1,281 @@
+"""Event-terminated integration: solve until ``event_fn(t, y)`` crosses zero.
+
+Capability beyond the vendored 2019 torchdiffeq in the reference (its
+``SOLVERS`` dict has no event handling; modern torchdiffeq added
+``odeint_event`` in 0.2.x — reference: torchdiffeq/_impl/odeint.py ``odeint``
+front door, ~1-80 — UNVERIFIED, see SURVEY.md §0).  Built TPU-native on this
+package's existing machinery instead of a host loop:
+
+  * the whole solve is ONE ``lax.while_loop`` on device — steps, event
+    bracket detection, AND root refinement all compile into the same
+    dispatch (no host round trips per step, unlike a torch host loop that
+    would sync per step *and* per bisection iteration);
+  * root location is bisection on the step's dense-output interpolant
+    (the same cubic/quartic Hermite fit ``odeint_dense`` stores), so the
+    refinement costs ZERO dynamics evaluations — only cheap polynomial
+    Horner passes and ``event_fn`` calls;
+  * per-sample semantics compose with the framework's headline feature:
+    with ``error_control='per_sample'`` every batch row integrates until
+    *its own* event fires (masked done flags), in lockstep SPMD — B
+    independent event solves for the price of one batched one.
+
+Differentiability: forward-only.  The solve is a ``lax.while_loop``
+(non-reverse-differentiable by construction); taking gradients through
+``odeint_event`` raises JAX's standard while_loop transpose error.  Event
+solves locate hitting times for analysis/simulation; for training through
+an event time, pair the located ``t_event`` (stop-gradient) with a fixed
+``odeint`` to that endpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ravel import ravel_batched, ravel_full
+from .runge_kutta import (
+    SolveStats,
+    _error_ratio,
+    _optimal_dt,
+    _optimal_dt_pi,
+    _rk_attempt,
+    _select_initial_step,
+)
+from .tableau import ADAPTIVE_TABLEAUS, CUBIC_FIT, QUARTIC_FIT
+
+__all__ = ["odeint_event", "EventSolution"]
+
+
+class EventSolution(NamedTuple):
+    """Result of an event-terminated solve (a pytree — jit/vmap-safe).
+
+    ``error_control='global'``: ``t_event``/``fired`` are scalars and
+    ``y_event`` has the input state's shape.  ``'per_sample'``: ``t_event``/
+    ``fired`` are ``(B,)`` and ``y_event`` keeps the batch axis.
+    """
+
+    t_event: jnp.ndarray  # event time; == t_max where no event fired
+    y_event: Any  # state at t_event (pytree, same structure as y0)
+    fired: jnp.ndarray  # bool: True = event located, False = hit t_max
+    stats: SolveStats  # nfe/naccept/nreject/success accounting
+
+
+def odeint_event(
+    func: Callable[[Any, Any], Any],
+    y0: Any,
+    t0: float,
+    event_fn: Callable[[Any, Any], Any],
+    *,
+    t_max: float,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    error_control: str = "global",
+    max_steps: int = 256,
+    first_step: float | None = None,
+    controller: str = "i",
+    refine_iters: int = 30,
+) -> EventSolution:
+    """Integrate from ``t0`` until ``event_fn(t, y)`` changes sign, or until
+    ``t_max`` is reached — whichever comes first.
+
+    ``event_fn(t, y)`` maps the current time and state pytree to a scalar
+    (``error_control='global'``) or a ``(B,)`` vector (``'per_sample'``,
+    one event per batch row; ``t`` is then the ``(B,)`` per-sample time).
+    It must be continuous and nonzero at ``(t0, y0)``; the first step at
+    which its sign differs from the initial sign brackets the root, which
+    is then refined by ``refine_iters`` bisection iterations on the step's
+    dense-output interpolant (resolution ``|dt|·2**-refine_iters`` — 30
+    iterations exhausts f32).  ``t_max`` bounds the search in either time
+    direction (``t_max < t0`` integrates backwards).
+
+    Returns an :class:`EventSolution`.  ``stats.success`` is per-row
+    completion (event found OR span exhausted) within ``max_steps``.
+    """
+    if method not in ADAPTIVE_TABLEAUS:
+        raise ValueError(
+            f"odeint_event supports adaptive RK methods, got {method!r}"
+        )
+    tableau = ADAPTIVE_TABLEAUS[method]
+    if error_control == "per_sample":
+        flat0, unravel, flatten = ravel_batched(y0)
+    elif error_control == "global":
+        flat0, unravel, flatten = ravel_full(y0)
+    else:
+        raise ValueError(f"unknown error_control {error_control!r}")
+
+    def flat_func(t, y_flat):
+        if error_control == "global":
+            return flatten(func(t[0], unravel(y_flat)))
+        return flatten(func(t, unravel(y_flat)))
+
+    def flat_event(t, y_flat):
+        if error_control == "global":
+            g = jnp.asarray(event_fn(t[0], unravel(y_flat)))
+        else:
+            g = jnp.asarray(event_fn(t, unravel(y_flat)))
+        if g.shape not in ((), (flat0.shape[0],)):
+            raise ValueError(
+                f"event_fn must return a scalar ('global') or a (B,) vector "
+                f"('per_sample'); got shape {g.shape} for "
+                f"error_control={error_control!r}"
+            )
+        return jnp.broadcast_to(g, (flat0.shape[0],)).astype(flat0.dtype)
+
+    dtype = flat0.dtype
+    batch, n = flat0.shape
+    span_end = jnp.asarray(t_max, dtype)
+    direction = jnp.sign(span_end - jnp.asarray(t0, dtype))
+
+    quartic = tableau.c_mid is not None
+    fit = jnp.asarray(QUARTIC_FIT if quartic else CUBIC_FIT, dtype)
+
+    t_init = jnp.full((batch,), t0, dtype)
+    f_init = flat_func(t_init, flat0)
+    g_init = flat_event(t_init, flat0)
+    nfe0 = jnp.ones((batch,), jnp.int32)
+    if first_step is None:
+        dt0 = _select_initial_step(
+            flat_func, t_init, flat0, f_init, direction, rtol, atol,
+            tableau.order - 1,
+        )
+        nfe0 = nfe0 + 1
+    else:
+        dt0 = jnp.full((batch,), first_step, dtype) * direction
+
+    carry0 = dict(
+        t=t_init, dt=dt0, y=flat0, f=f_init, g=g_init,
+        t_ev=jnp.full((batch,), t_max, dtype),
+        y_ev=flat0,
+        fired=jnp.zeros((batch,), bool),
+        nfe=nfe0,
+        naccept=jnp.zeros((batch,), jnp.int32),
+        nreject=jnp.zeros((batch,), jnp.int32),
+        done=jnp.zeros((batch,), bool),
+        iters=jnp.zeros((), jnp.int32),
+        rprev=jnp.ones((batch,), dtype),
+    )
+
+    def poly_at(coef, x):
+        # coef (D+1, B, N) monomial coeffs on [0, 1]; x (B,) → (B, N)
+        val = coef[-1]
+        for i in range(coef.shape[0] - 2, -1, -1):
+            val = val * x[:, None] + coef[i]
+        return val
+
+    def body(c):
+        active = ~c["done"]
+        t0_, dt, y0_, f0 = c["t"], c["dt"], c["y"], c["f"]
+
+        y1, err, f1, new_evals, parts_fn = _rk_attempt(
+            tableau, flat_func, t0_, dt, y0_, f0, dtype
+        )
+        ratio = _error_ratio(err, y0_, y1, rtol, atol)
+        accept = (ratio <= 1.0) & active
+        t1_ = t0_ + dt
+
+        # Interpolant for THIS step (needed on every accept: the event check
+        # itself evaluates it at the span-clipped endpoint).  Precision pin:
+        # TPU dots default to bf16 multiplies; this touches state data
+        # (see runge_kutta._dense_write / tests/test_solver_precision.py).
+        data = jnp.stack(parts_fn())
+        coef = jnp.einsum("cd,dbn->cbn", fit, data,
+                          precision=lax.Precision.HIGHEST)  # (D+1, B, N)
+
+        # Clip the event probe to the span: if this step overshoots t_max,
+        # look for a crossing only on [t0, t_max] (x ∈ [0, x_hi]).
+        x_end = (span_end - t0_) / dt  # (B,) ≥ 0 while active
+        x_hi = jnp.clip(x_end, 0.0, 1.0)
+        y_hi = poly_at(coef, x_hi)
+        t_hi = t0_ + x_hi * dt
+        g_hi = flat_event(t_hi, y_hi)
+
+        s0 = c["g"] >= 0.0
+        bracket = accept & ((g_hi >= 0.0) != s0)
+
+        def refine(_):
+            # Bisection on the interpolant: zero dynamics evals; the
+            # invariant sign(g_lo) != sign(g_hi) holds per bracketed row
+            # (rows without a bracket compute garbage that is masked out).
+            def bis(_, st):
+                lo, hi, g_lo = st
+                mid = 0.5 * (lo + hi)
+                g_mid = flat_event(t0_ + mid * dt, poly_at(coef, mid))
+                cross = (g_mid >= 0.0) != (g_lo >= 0.0)
+                return (
+                    jnp.where(cross, lo, mid),
+                    jnp.where(cross, mid, hi),
+                    jnp.where(cross, g_lo, g_mid),
+                )
+
+            lo, hi, _ = lax.fori_loop(
+                0, refine_iters, bis,
+                (jnp.zeros((batch,), dtype), x_hi, c["g"]),
+            )
+            x_star = 0.5 * (lo + hi)
+            return t0_ + x_star * dt, poly_at(coef, x_star)
+
+        t_star, y_star = lax.cond(
+            jnp.any(bracket),
+            refine,
+            lambda _: (t_hi, y_hi),
+            operand=None,
+        )
+
+        # No crossing and the step covered the rest of the span → finish at
+        # t_max with the interpolated endpoint state.
+        exhausted = accept & ~bracket & (x_end <= 1.0)
+
+        fired = c["fired"] | bracket
+        t_ev = jnp.where(bracket, t_star,
+                         jnp.where(exhausted, t_hi, c["t_ev"]))
+        y_ev = jnp.where(bracket[:, None], y_star,
+                         jnp.where(exhausted[:, None], y_hi, c["y_ev"]))
+
+        if controller == "pi":
+            proposed = _optimal_dt_pi(dt, ratio, c["rprev"], accept,
+                                      tableau.order, 0.9, 10.0, 0.2)
+            rprev = jnp.where(accept & active,
+                              jnp.maximum(ratio, 1e-4), c["rprev"])
+        else:
+            proposed = _optimal_dt(dt, ratio, accept, tableau.order,
+                                   0.9, 10.0, 0.2)
+            rprev = c["rprev"]
+        acc_col = accept[:, None]
+        return dict(
+            t=jnp.where(accept, t1_, t0_),
+            dt=jnp.where(active, proposed, dt),
+            y=jnp.where(acc_col, y1, y0_),
+            f=jnp.where(acc_col, f1, f0),
+            g=jnp.where(accept, g_hi, c["g"]),
+            t_ev=t_ev, y_ev=y_ev, fired=fired,
+            nfe=c["nfe"] + jnp.where(active, new_evals, 0),
+            naccept=c["naccept"] + accept.astype(jnp.int32),
+            nreject=c["nreject"] + (active & ~accept).astype(jnp.int32),
+            done=c["done"] | bracket | exhausted,
+            iters=c["iters"] + 1,
+            rprev=rprev,
+        )
+
+    final = lax.while_loop(
+        lambda c: (~jnp.all(c["done"])) & (c["iters"] < max_steps),
+        body, carry0,
+    )
+
+    stats = SolveStats(
+        nfe=final["nfe"], naccept=final["naccept"],
+        nreject=final["nreject"], success=final["done"],
+    )
+    y_tree = unravel(final["y_ev"])  # global: (1,N) → original shape
+    if error_control == "global":
+        return EventSolution(
+            t_event=final["t_ev"][0], y_event=y_tree,
+            fired=final["fired"][0], stats=stats,
+        )
+    return EventSolution(
+        t_event=final["t_ev"], y_event=y_tree,
+        fired=final["fired"], stats=stats,
+    )
