@@ -86,6 +86,19 @@ def test_adams_dots_pinned():
     )
 
 
+def test_odeint_event_dots_pinned():
+    from neural_ode_features_tpu.solver import odeint_event
+
+    def run(y0):
+        sol = odeint_event(
+            _f, y0, 0.0, lambda t, y: y[:, 0] - 0.5, t_max=2.0,
+            rtol=1e-4, atol=1e-6, error_control="per_sample",
+        )
+        return sol.t_event, jax.tree.leaves(sol.y_event)[0]
+
+    _assert_all_pinned(run, _Y0)
+
+
 def test_adjoint_backward_dots_pinned():
     # _tree_vdot (the t-gradient contraction) lives in the VJP: trace the
     # gradient wrt ts as well as y0 so it appears in the jaxpr.
