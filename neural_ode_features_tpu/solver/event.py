@@ -19,12 +19,31 @@ package's existing machinery instead of a host loop:
     *its own* event fires (masked done flags), in lockstep SPMD — B
     independent event solves for the price of one batched one.
 
-Differentiability: forward-only.  The solve is a ``lax.while_loop``
-(non-reverse-differentiable by construction); taking gradients through
-``odeint_event`` raises JAX's standard while_loop transpose error.  Event
-solves locate hitting times for analysis/simulation; for training through
-an event time, pair the located ``t_event`` (stop-gradient) with a fixed
-``odeint`` to that endpoint.
+Detection model and its limits (shared with scipy.integrate.solve_ivp
+events and torchdiffeq's odeint_event): the crossing test samples
+``event_fn``'s SIGN at discrete points of each *accepted* step — the step
+endpoint, plus ``interior_probes`` evenly spaced interpolant probes when
+requested.  Consequences the caller must know:
+
+  * **Even-crossing blind spot**: an even number of crossings between two
+    consecutive probe points is invisible (the sign returns to where it
+    started).  Step size is controlled by the STATE tolerance (rtol/atol on
+    y), not by ``event_fn`` — a loose solve takes long steps over a smooth
+    flow, so a brief dip of ``event_fn`` through zero and back inside one
+    step is silently missed.  Mitigations, in order of cost: raise
+    ``interior_probes`` (each probe costs one interpolant + event_fn eval
+    per accepted step, zero dynamics evals), tighten rtol/atol, or cap the
+    step with ``first_step`` + ``max_steps``.
+  * **Resolution**: a detected crossing is refined by bisection to
+    ``|probe interval| · 2**-refine_iters`` — the probe spacing, not the
+    tolerance, bounds WHICH crossing is found when several share a probe
+    interval.
+
+Differentiability: this function is forward-only (the solve is a
+``lax.while_loop``; reverse-mode through it raises JAX's standard
+while_loop transpose error).  For gradients w.r.t. parameters and initial
+state — including the implicit-function-theorem sensitivity of the event
+time itself — use :func:`~.event_adjoint.odeint_event_adjoint`.
 """
 
 from __future__ import annotations
@@ -55,9 +74,20 @@ class EventSolution(NamedTuple):
     ``error_control='global'``: ``t_event``/``fired`` are scalars and
     ``y_event`` has the input state's shape.  ``'per_sample'``: ``t_event``/
     ``fired`` are ``(B,)`` and ``y_event`` keeps the batch axis.
+
+    Field semantics per row:
+
+    * ``fired=True``  → ``(t_event, y_event)`` is the located crossing.
+    * ``fired=False, stats.success=True``  → no event in the span;
+      ``t_event == t_max`` and ``y_event`` is the state integrated to it.
+    * ``stats.success=False`` (``max_steps`` exhausted) → ``(t_event,
+      y_event)`` is the solver's RUNNING position when the budget ran out —
+      a consistent pair, but not ``t_max``.  Always check ``stats.success``;
+      note the default ``max_steps=256`` is far below ``odeint``'s ``2**14``
+      (an event solve is usually short; raise it for long horizons).
     """
 
-    t_event: jnp.ndarray  # event time; == t_max where no event fired
+    t_event: jnp.ndarray  # event time (see semantics table above)
     y_event: Any  # state at t_event (pytree, same structure as y0)
     fired: jnp.ndarray  # bool: True = event located, False = hit t_max
     stats: SolveStats  # nfe/naccept/nreject/success accounting
@@ -78,26 +108,63 @@ def odeint_event(
     first_step: float | None = None,
     controller: str = "i",
     refine_iters: int = 30,
+    direction: int = 0,
+    interior_probes: int = 0,
 ) -> EventSolution:
-    """Integrate from ``t0`` until ``event_fn(t, y)`` changes sign, or until
+    """Integrate from ``t0`` until ``event_fn(t, y)`` crosses zero, or until
     ``t_max`` is reached — whichever comes first.
 
     ``event_fn(t, y)`` maps the current time and state pytree to a scalar
     (``error_control='global'``) or a ``(B,)`` vector (``'per_sample'``,
     one event per batch row; ``t`` is then the ``(B,)`` per-sample time).
-    It must be continuous and nonzero at ``(t0, y0)``; the first step at
-    which its sign differs from the initial sign brackets the root, which
-    is then refined by ``refine_iters`` bisection iterations on the step's
-    dense-output interpolant (resolution ``|dt|·2**-refine_iters`` — 30
-    iterations exhausts f32).  ``t_max`` bounds the search in either time
-    direction (``t_max < t0`` integrates backwards).
+    It should be continuous.  ``t_max`` bounds the search in either time
+    direction (``t_max < t0`` integrates backwards); a degenerate span
+    (``t_max == t0``) returns immediately with ``fired = (event_fn(t0, y0)
+    == 0)``.
+
+    Edge semantics (all defined, not left to float accidents):
+
+    * ``event_fn(t0, y0) == 0`` → the event fires IMMEDIATELY at ``t0``
+      (``t_event = t0``, ``y_event = y0``), regardless of ``direction`` —
+      the solve starts on the event surface.
+    * A non-finite ``event_fn`` value never counts as a crossing (NaN is
+      not a sign change); non-finite dynamics reject the step via the
+      error norm as usual, so a blown-up solve reports
+      ``stats.success=False`` rather than a fake event.
+
+    Args:
+      direction: which sign changes count, scipy-style — ``0`` (default)
+        any crossing, ``+1`` only rising (negative → non-negative), ``-1``
+        only falling (non-negative → negative).  Non-matching crossings are
+        stepped over (the tracked sign still updates, so a later matching
+        crossing is found).
+      interior_probes: number of extra evenly spaced interpolant probes per
+        accepted step (default 0 = endpoint-only, the scipy/torchdiffeq
+        model).  Raising it catches dip-and-return crossings the endpoint
+        test misses — see the module docstring's blind-spot discussion.
+        Cost per probe: one Horner evaluation of the step interpolant plus
+        one ``event_fn`` call; zero dynamics evaluations.
+
+    The first probe interval whose endpoint signs differ (matching
+    ``direction``) brackets the root, which is then refined by
+    ``refine_iters`` bisection iterations on the step's dense-output
+    interpolant (resolution ``|probe interval| · 2**-refine_iters`` — 30
+    iterations exhausts f32).
 
     Returns an :class:`EventSolution`.  ``stats.success`` is per-row
-    completion (event found OR span exhausted) within ``max_steps``.
+    completion (event found OR span exhausted) within ``max_steps``; when
+    it is False the ``(t_event, y_event)`` pair is the running solver
+    position, not ``t_max`` (see :class:`EventSolution`).
     """
     if method not in ADAPTIVE_TABLEAUS:
         raise ValueError(
             f"odeint_event supports adaptive RK methods, got {method!r}"
+        )
+    if direction not in (-1, 0, 1):
+        raise ValueError(f"direction must be -1, 0 or +1, got {direction!r}")
+    if interior_probes < 0:
+        raise ValueError(
+            f"interior_probes must be >= 0, got {interior_probes!r}"
         )
     tableau = ADAPTIVE_TABLEAUS[method]
     if error_control == "per_sample":
@@ -128,7 +195,7 @@ def odeint_event(
     dtype = flat0.dtype
     batch, n = flat0.shape
     span_end = jnp.asarray(t_max, dtype)
-    direction = jnp.sign(span_end - jnp.asarray(t0, dtype))
+    span_dir = jnp.sign(span_end - jnp.asarray(t0, dtype))
 
     quartic = tableau.c_mid is not None
     fit = jnp.asarray(QUARTIC_FIT if quartic else CUBIC_FIT, dtype)
@@ -139,22 +206,32 @@ def odeint_event(
     nfe0 = jnp.ones((batch,), jnp.int32)
     if first_step is None:
         dt0 = _select_initial_step(
-            flat_func, t_init, flat0, f_init, direction, rtol, atol,
+            flat_func, t_init, flat0, f_init, span_dir, rtol, atol,
             tableau.order - 1,
         )
         nfe0 = nfe0 + 1
     else:
-        dt0 = jnp.full((batch,), first_step, dtype) * direction
+        dt0 = jnp.full((batch,), first_step, dtype) * span_dir
+
+    # Defined edges (ADVICE r4): g(t0)=0 fires at t0; a degenerate span
+    # (t_max == t0 → span_dir == 0, dt0 == 0, x_end = 0/0 = NaN downstream)
+    # completes every row up front instead of NaN-bracketing a fake event.
+    fired0 = g_init == 0.0
+    done0 = fired0 | jnp.broadcast_to(span_dir == 0.0, (batch,))
 
     carry0 = dict(
         t=t_init, dt=dt0, y=flat0, f=f_init, g=g_init,
-        t_ev=jnp.full((batch,), t_max, dtype),
+        # Running position doubles as the reported (t_event, y_event) when
+        # max_steps exhausts — the post-loop where() below keeps the pair
+        # consistent (ADVICE r4: t_max paired with y0 looked like a
+        # completed no-event solve).
+        t_ev=t_init,
         y_ev=flat0,
-        fired=jnp.zeros((batch,), bool),
+        fired=fired0,
         nfe=nfe0,
         naccept=jnp.zeros((batch,), jnp.int32),
         nreject=jnp.zeros((batch,), jnp.int32),
-        done=jnp.zeros((batch,), bool),
+        done=done0,
         iters=jnp.zeros((), jnp.int32),
         rprev=jnp.ones((batch,), dtype),
     )
@@ -165,6 +242,14 @@ def odeint_event(
         for i in range(coef.shape[0] - 2, -1, -1):
             val = val * x[:, None] + coef[i]
         return val
+
+    def matches_direction(s_prev, s_next):
+        # s_* are "g >= 0" booleans at consecutive probe points.
+        if direction == 1:
+            return (~s_prev) & s_next
+        if direction == -1:
+            return s_prev & (~s_next)
+        return s_prev != s_next
 
     def body(c):
         active = ~c["done"]
@@ -185,16 +270,42 @@ def odeint_event(
         coef = jnp.einsum("cd,dbn->cbn", fit, data,
                           precision=lax.Precision.HIGHEST)  # (D+1, B, N)
 
-        # Clip the event probe to the span: if this step overshoots t_max,
+        # Clip the event probes to the span: if this step overshoots t_max,
         # look for a crossing only on [t0, t_max] (x ∈ [0, x_hi]).
         x_end = (span_end - t0_) / dt  # (B,) ≥ 0 while active
         x_hi = jnp.clip(x_end, 0.0, 1.0)
+
+        # Probe ladder: interior_probes evenly spaced interpolant points,
+        # then the (clipped) endpoint.  K is static and small, so the
+        # Python loop unrolls into the compiled body.
+        n_probe = interior_probes + 1
+        xs, gs = [], []
+        for j in range(1, n_probe + 1):
+            x_j = x_hi * (j / n_probe)
+            xs.append(x_j)
+            gs.append(flat_event(t0_ + x_j * dt, poly_at(coef, x_j)))
         y_hi = poly_at(coef, x_hi)
         t_hi = t0_ + x_hi * dt
-        g_hi = flat_event(t_hi, y_hi)
+        g_hi = gs[-1]
 
-        s0 = c["g"] >= 0.0
-        bracket = accept & ((g_hi >= 0.0) != s0)
+        # First probe interval with a (direction-matching, finite) sign
+        # change brackets the root.  NaN never counts as a crossing
+        # (ADVICE r4: NaN >= 0 is False, which used to read as a sign flip).
+        xs_ext = jnp.stack([jnp.zeros_like(x_hi)] + xs)      # (K+1, B)
+        gs_ext = jnp.stack([c["g"]] + gs)                    # (K+1, B)
+        s_ext = gs_ext >= 0.0
+        finite_ext = jnp.isfinite(gs_ext)
+        flips = (
+            matches_direction(s_ext[:-1], s_ext[1:])
+            & finite_ext[:-1]
+            & finite_ext[1:]
+            & accept[None, :]
+        )  # (K, B)
+        bracket = jnp.any(flips, axis=0)
+        seg = jnp.argmax(flips, axis=0)  # (B,) first flipped interval
+        lo0 = jnp.take_along_axis(xs_ext, seg[None, :], axis=0)[0]
+        hi0 = jnp.take_along_axis(xs_ext, (seg + 1)[None, :], axis=0)[0]
+        g_lo0 = jnp.take_along_axis(gs_ext, seg[None, :], axis=0)[0]
 
         def refine(_):
             # Bisection on the interpolant: zero dynamics evals; the
@@ -212,8 +323,7 @@ def odeint_event(
                 )
 
             lo, hi, _ = lax.fori_loop(
-                0, refine_iters, bis,
-                (jnp.zeros((batch,), dtype), x_hi, c["g"]),
+                0, refine_iters, bis, (lo0, hi0, g_lo0)
             )
             x_star = 0.5 * (lo + hi)
             return t0_ + x_star * dt, poly_at(coef, x_star)
@@ -230,10 +340,14 @@ def odeint_event(
         exhausted = accept & ~bracket & (x_end <= 1.0)
 
         fired = c["fired"] | bracket
+        # Running position for still-active rows keeps (t_ev, y_ev) a
+        # consistent pair if max_steps exhausts mid-solve.
         t_ev = jnp.where(bracket, t_star,
-                         jnp.where(exhausted, t_hi, c["t_ev"]))
+                         jnp.where(exhausted, t_hi,
+                                   jnp.where(accept, t1_, c["t_ev"])))
         y_ev = jnp.where(bracket[:, None], y_star,
-                         jnp.where(exhausted[:, None], y_hi, c["y_ev"]))
+                         jnp.where(exhausted[:, None], y_hi,
+                                   jnp.where(accept[:, None], y1, c["y_ev"])))
 
         if controller == "pi":
             proposed = _optimal_dt_pi(dt, ratio, c["rprev"], accept,
