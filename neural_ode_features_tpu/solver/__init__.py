@@ -13,6 +13,7 @@ per-sample adaptive stepping.  Public surface:
 from .adjoint import odeint_adjoint, set_backward_nfe_tap
 from .dense import DenseSolution, odeint_dense
 from .event import EventSolution, odeint_event
+from .event_adjoint import odeint_event_adjoint
 from .odeint import SOLVERS, SolveStats, odeint
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "odeint_adjoint",
     "odeint_dense",
     "odeint_event",
+    "odeint_event_adjoint",
     "DenseSolution",
     "EventSolution",
     "set_backward_nfe_tap",
