@@ -61,6 +61,10 @@ class TrainConfig:
     adjoint_mode: str = "reintegrate"
     error_control: str = "per_sample"
     downsampling: str = "conv"
+    # ODEfunc channel width.  64 is the reference architecture; wider
+    # variants exist for the MFU-at-width story (bench.py --hidden and the
+    # r5 training-width probe) and for FSDP to have real work to shard.
+    hidden: int = 64
     epochs: int = 160
     batch_size: int = 128
     optimizer: str = "sgd"  # 'sgd' (reference) | 'adam'
@@ -82,6 +86,7 @@ class TrainConfig:
         in_ch = 3 if "cifar" in self.dataset else 1
         return ModelConfig(
             in_channels=in_ch,
+            hidden=self.hidden,
             tol=self.tol,
             method=self.solver,
             controller=self.controller,

@@ -9,12 +9,17 @@ from .checkpoint import (
     to_torch_state_dict,
 )
 from .expman import Experiment
-from .flops import odenet_flops_per_image, peak_flops_per_chip
+from .flops import (
+    odenet_flops_per_image,
+    odenet_train_flops_per_image,
+    peak_flops_per_chip,
+)
 from .meters import AverageMeter, RunningAverageMeter, count_parameters
 
 __all__ = [
     "enable_tpu_compile_cache",
     "odenet_flops_per_image",
+    "odenet_train_flops_per_image",
     "peak_flops_per_chip",
     "Experiment",
     "RunningAverageMeter",

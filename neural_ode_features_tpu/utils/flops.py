@@ -14,7 +14,11 @@ SURVEY.md §2.3); this is bench-harness infrastructure.
 
 from __future__ import annotations
 
-__all__ = ["odenet_flops_per_image", "peak_flops_per_chip"]
+__all__ = [
+    "odenet_flops_per_image",
+    "odenet_train_flops_per_image",
+    "peak_flops_per_chip",
+]
 
 
 def _conv_flops(k: int, cin: int, cout: int, out_hw: int) -> float:
@@ -74,6 +78,45 @@ def odenet_flops_per_image(cfg, image_side: int, mean_nfe: float) -> dict:
         "head": head,
         "total": total,
         "feature_side": s2,
+    }
+
+
+def odenet_train_flops_per_image(
+    cfg, image_side: int, nfe_f: float, nfe_b: float
+) -> dict:
+    """Analytic TRAINING-step FLOPs for one image (adjoint route).
+
+    Counting convention (the standard fwd:bwd ≈ 1:2 rule applied to this
+    model's actual eval counts, which differ between the two passes):
+
+    * stem + head: forward once, backward ≈ 2× (grads w.r.t. inputs AND
+      parameters) → 3× their forward FLOPs;
+    * dynamics forward: ``nfe_f`` ODEfunc evals;
+    * dynamics backward (reintegrate adjoint): each of the ``nfe_b``
+      augmented evals computes f once (the co-integrated y column) plus
+      its VJP (≈ 2× f) → 3× ODEfunc per backward eval.  The seminorm /
+      interpolated variants change ``nfe_b`` itself, not the per-eval
+      cost (interpolated drops the y column but adds interpolant
+      evaluation — within the model error of this estimate).
+
+    Optimizer update / augmentation / loss are O(params + pixels) —
+    negligible next to the convs — and excluded, consistent with
+    :func:`odenet_flops_per_image`'s model-FLOPs (useful work) convention.
+    """
+    fwd = odenet_flops_per_image(cfg, image_side, 0.0)
+    odefunc = fwd["odefunc_per_eval"]
+    total = (
+        3.0 * (fwd["stem"] + fwd["head"])
+        + float(nfe_f) * odefunc
+        + 3.0 * float(nfe_b) * odefunc
+    )
+    return {
+        "stem_head_x3": 3.0 * (fwd["stem"] + fwd["head"]),
+        "odefunc_per_eval": odefunc,
+        "forward_dyn": float(nfe_f) * odefunc,
+        "backward_dyn": 3.0 * float(nfe_b) * odefunc,
+        "total": total,
+        "feature_side": fwd["feature_side"],
     }
 
 

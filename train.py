@@ -46,6 +46,11 @@ def parse_args(argv=None):
                    choices=["reintegrate", "interpolated"],
                    help="'interpolated': backward reads y(t) from the "
                         "forward's dense solution (Daulbaev et al. 2020)")
+    p.add_argument("--hidden", type=int, default=64,
+                   help="ODEfunc channel width (reference architecture: 64;"
+                        " must be a multiple of the GroupNorm group count"
+                        " 32). Wider widths give the MXU real work — see"
+                        " RESULTS.md's MFU-vs-width story")
     p.add_argument("--downsampling", default="conv", choices=["conv", "res"],
                    help="stem variant (Chen et al. --downsampling-method)")
     p.add_argument("--error-control", default="per_sample",
@@ -117,6 +122,12 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.hidden <= 0 or args.hidden % 32 != 0:
+        raise SystemExit(
+            f"--hidden {args.hidden}: must be a positive multiple of 32 "
+            "(GroupNorm groups=32 in the reference architecture)"
+        )
+
     from neural_ode_features_tpu.utils import enable_tpu_compile_cache
 
     enable_tpu_compile_cache(cpu=args.cpu)  # gated (utils/compile_cache.py)
@@ -140,6 +151,7 @@ def main(argv=None):
         adjoint_mode=args.adjoint_mode,
         error_control=args.error_control,
         downsampling=args.downsampling,
+        hidden=args.hidden,
         epochs=args.epochs,
         batch_size=args.batch_size,
         optimizer=args.optimizer,
