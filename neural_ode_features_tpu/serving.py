@@ -163,6 +163,104 @@ class SocketClient:
             yield self._recv_response()
             in_flight -= 1
 
+    def infer_burst(self, xs: Iterable[np.ndarray]) -> list[np.ndarray]:
+        """Send ALL requests up front, draining responses concurrently;
+        returns the outputs in request order.
+
+        This is the single-stream face of the server's continuous
+        batching: :meth:`infer_stream`'s depth-2 window never leaves more
+        than one request queued server-side, so a lone connection's ragged
+        requests are dispatched one per device batch (measured r4: 481
+        img/s vs 1,181 for 8 concurrent clients on identical total work).
+        Bursting floods the server's per-connection queue, and its batch
+        assembler packs as many queued requests as fit into each padded
+        dispatch — response order is preserved by the protocol (the server
+        answers per connection strictly in request order).
+
+        Deadlock safety (the reason ``infer_stream`` bounds its depth): a
+        fire-everything writer over a blocking socket can fill BOTH kernel
+        buffers — client blocked in send, server blocked in its response
+        write — and stall forever.  This method never blocks in send: it
+        ``select``-interleaves nonblocking writes of the remaining request
+        bytes with reads of whatever responses have arrived, so the
+        server's responses always drain no matter how large the burst.
+        """
+        import select as _select
+
+        payloads = []
+        for x in xs:
+            x = np.ascontiguousarray(x, dtype=np.float32)
+            # _send_request's shape/rows validation, without the send.
+            if x.shape == self.in_shape:
+                rows = None
+            elif (self.rows and len(x.shape) == len(self.in_shape)
+                  and x.shape[1:] == self.in_shape[1:]
+                  and 1 <= x.shape[0] <= self.rows):
+                rows = int(x.shape[0])
+            else:
+                hint = (f" or (1..{self.rows},)+{self.in_shape[1:]}"
+                        if self.rows else "")
+                raise ValueError(
+                    f"input shape {x.shape} != artifact shape "
+                    f"{self.in_shape}{hint}")
+            payloads.append(struct.pack("<I", x.nbytes) + x.tobytes())
+            self._pending_rows.append(rows)
+        n = len(payloads)
+        if n == 0:
+            return []
+        out_buf = memoryview(b"".join(payloads))
+        rbuf = bytearray()
+        results: list[np.ndarray] = []
+        self._conn.setblocking(False)
+        try:
+            while len(results) < n:
+                want_write = len(out_buf) > 0
+                readable, writable, _ = _select.select(
+                    [self._conn], [self._conn] if want_write else [], [],
+                    30.0,
+                )
+                if not readable and not writable:
+                    raise TimeoutError(
+                        f"infer_burst stalled: {len(results)}/{n} responses"
+                        f" after 30 s with {len(out_buf)} B unsent")
+                if writable:
+                    try:
+                        sent = self._conn.send(out_buf)
+                        out_buf = out_buf[sent:]
+                    except BlockingIOError:
+                        pass
+                if readable:
+                    try:
+                        chunk = self._conn.recv(1 << 20)
+                    except BlockingIOError:
+                        chunk = None
+                    if chunk == b"":
+                        raise ConnectionError(
+                            "server closed the socket mid-burst")
+                    if chunk:
+                        rbuf.extend(chunk)
+                # Parse every complete response frame in the buffer.
+                while True:
+                    if len(rbuf) < 5:
+                        break
+                    status = rbuf[0]
+                    (length,) = struct.unpack_from("<I", rbuf, 1)
+                    if len(rbuf) < 5 + length:
+                        break
+                    payload = bytes(rbuf[5:5 + length])
+                    del rbuf[:5 + length]
+                    rows = (self._pending_rows.pop(0)
+                            if self._pending_rows else None)
+                    if status != 0:
+                        raise ServeError(payload.decode(errors="replace"))
+                    shape = self.out_shape if rows is None else (
+                        (rows,) + self.out_shape[1:])
+                    results.append(
+                        np.frombuffer(payload, np.float32).reshape(shape))
+        finally:
+            self._conn.setblocking(True)
+        return results
+
     def close(self, shutdown_server: bool = False) -> None:
         try:
             frame = SHUTDOWN_FRAME if shutdown_server else 0

@@ -21,6 +21,7 @@ serving host EXCEEDS parity).
 
 import json
 import pathlib
+import re
 import socket
 import struct
 import subprocess
@@ -681,3 +682,84 @@ def test_hostile_npy_headers_answer_err(binary, mock_artifact, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_infer_burst_single_connection_coalesces(binary, tmp_path):
+    """A lone connection's BURST of ragged requests coalesces into few
+    device batches (VERDICT r4 #6): infer_stream's depth-2 window never
+    queues more than one request server-side, so r4 measured a single
+    pipelined client at 481 img/s vs 1,181 for 8 concurrent clients on
+    identical work.  SocketClient.infer_burst floods the queue instead;
+    the batch assembler packs this one connection's requests together.
+    Wide artifact (16 rows) so the packing is unmistakable."""
+    from neural_ode_features_tpu.serving import SocketClient
+
+    bin_shape, bout_shape = (16, 6), (16, 10)
+    art = tmp_path / "burst.npexec"
+    write_mock_artifact(art, in_shape=bin_shape, out_shape=bout_shape,
+                        scale=SCALE, shift=SHIFT, layout="reversed",
+                        mode="rowwise")
+    sock = tmp_path / "burst.sock"
+    proc = subprocess.Popen(
+        [str(binary), str(art), "--listen", str(sock),
+         "--plugin", str(MOCK_PLUGIN)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        bufsize=1)
+    try:
+        ready = proc.stdout.readline().strip()
+        assert ready == f"READY {sock}", ready
+
+        rng = np.random.default_rng(23)
+        reqs = [rng.normal(size=(2, bin_shape[1])).astype(np.float32)
+                for _ in range(32)]
+
+        client = SocketClient(str(sock))
+        assert client.rows == bin_shape[0]
+        outs = client.infer_burst(reqs)
+        assert len(outs) == 32
+        full = np.zeros(bin_shape, np.float32)
+        from export_model import mock_expected
+
+        for x, y in zip(reqs, outs):
+            assert y.shape == (2, bout_shape[1])
+            full[:2] = x
+            want = mock_expected(full, bout_shape, SCALE, SHIFT,
+                                 mode="rowwise")[:2]
+            np.testing.assert_array_equal(y, want)
+        client.close(shutdown_server=True)
+        assert proc.wait(timeout=30) == 0
+
+        # The exit summary proves SAME-CONNECTION coalescing: 32 requests
+        # in far fewer dispatches (16-row batches hold eight 2-row
+        # requests; the burst arrives in one TCP segment, so at most the
+        # first couple of dispatches go underfilled).
+        err = proc.stderr.read()
+        m = re.search(r"(\d+) requests \((\d+) rows\) in (\d+) dispatches",
+                      err)
+        assert m, err
+        n_req, n_rows, n_disp = map(int, m.groups())
+        assert n_req == 32 and n_rows == 64
+        assert n_disp <= 16, (
+            f"expected same-connection coalescing (<=16 dispatches for 32 "
+            f"burst requests), got {n_disp}:\n{err}")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_serve_client_burst_end_to_end(binary, tmp_path):
+    # --burst --rows: the single-connection continuous-batching CLI mode;
+    # parity on request 0 and the burst summary line printed.
+    art = tmp_path / "rowwise.npexec"
+    write_mock_artifact(art, in_shape=RIN_SHAPE, out_shape=ROUT_SHAPE,
+                        scale=SCALE, shift=SHIFT, layout="reversed",
+                        mode="rowwise")
+    p = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "serve_client.py"),
+         "--artifact", str(art), "--transport", "socket",
+         "--plugin", str(MOCK_PLUGIN), "--requests", "16", "--rows", "2",
+         "--burst"],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "max|diff|=0.000e+00" in p.stdout
+    assert "burst(socket): 16 requests" in p.stdout

@@ -168,6 +168,28 @@ def run_socket(args, sample, expected):
                   f"every connection)")
             return 0
 
+        if args.burst:
+            # Single-stream continuous batching (VERDICT r4 #6): fire ALL
+            # requests, drain responses concurrently — the server's batch
+            # assembler packs THIS connection's queued ragged requests into
+            # shared padded dispatches (infer_stream's depth-2 window never
+            # queues more than one, hence r4's 481 vs 1,181 img/s gap).
+            t = time.perf_counter()
+            try:
+                outs = client.infer_burst(reqs)
+            except ServeError as e:
+                print(f"server error: {e}", file=sys.stderr)
+                return 1
+            wall = time.perf_counter() - t
+            for i, y in enumerate(outs):
+                check(i, y)
+            total = n_img * args.requests
+            print(f"burst(socket): {args.requests} requests in "
+                  f"{wall:.3f}s -> {wall / args.requests * 1e3:.0f} "
+                  f"ms/request, {total / wall:,.0f} img/s aggregate "
+                  f"(single connection, queue-drain coalescing)")
+            return 0
+
         if args.pipeline:
             t = time.perf_counter()
             try:
@@ -219,6 +241,13 @@ def main(argv=None):
                         "i+1's file read + upload (depth-2 pipelining); "
                         "measures aggregate throughput instead of "
                         "per-request latency")
+    p.add_argument("--burst", action="store_true",
+                   help="socket transport only: send ALL requests up front "
+                        "on one connection (select-interleaved, "
+                        "deadlock-free) so the server coalesces this "
+                        "single stream's ragged requests into shared "
+                        "device batches — the single-client face of "
+                        "continuous batching")
     p.add_argument("--binary", default=str(ROOT / "native" / "pjrt_serve"))
     p.add_argument("--plugin", default=None,
                    help="PJRT plugin .so for the server (default: the "
@@ -248,6 +277,11 @@ def main(argv=None):
         p.error("--clients requires --transport socket")
     if args.rows and args.transport != "socket":
         p.error("--rows requires --transport socket")
+    if args.burst and args.transport != "socket":
+        p.error("--burst requires --transport socket")
+    if args.burst and args.clients > 1:
+        p.error("--burst is the single-connection mode; use --clients for "
+                "concurrent streams")
 
     art = Path(args.artifact)
     sample = np.load(art / "sample_input.npy")
