@@ -9,6 +9,9 @@ from neural_ode_features_tpu.solver import odeint
 
 import problems as P
 
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
+
 
 @pytest.mark.parametrize("problem", P.ALL_PROBLEMS, ids=lambda p: p.name)
 def test_adams_accuracy(problem):

@@ -12,6 +12,9 @@ import pytest
 
 from neural_ode_features_tpu.solver import odeint, odeint_adjoint
 
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
+
 
 def _dynamics(params, t, y):
     """A small dense net with genuine t-dependence: y' = tanh(y W + b) * c(t)."""

@@ -19,6 +19,8 @@ from neural_ode_features_tpu.utils import (
     save_checkpoint,
     to_torch_state_dict,
 )
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
 
 
 def test_roundtrip(tmp_path):

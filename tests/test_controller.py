@@ -41,6 +41,8 @@ from problems import (
     STIFF_Y0,
     stiff_func_for,
 )
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
 
 TS = jnp.linspace(0.0, 4.0, 5)
 

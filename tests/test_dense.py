@@ -9,6 +9,9 @@ from neural_ode_features_tpu.solver import odeint, odeint_dense
 
 from problems import EXPONENTIAL, SINE
 
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
+
 
 def test_dense_matches_exact():
     y_at, stats = odeint_dense(SINE.func, jnp.asarray(SINE.y0), 0.0, 2.0,

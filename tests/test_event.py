@@ -15,6 +15,9 @@ import pytest
 
 from neural_ode_features_tpu.solver import odeint_event
 
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
+
 TOLS = dict(rtol=1e-9, atol=1e-12)
 
 

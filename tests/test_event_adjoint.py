@@ -17,6 +17,9 @@ import pytest
 
 from neural_ode_features_tpu.solver import odeint_event_adjoint
 
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
+
 TOLS = dict(rtol=1e-10, atol=1e-12)
 
 

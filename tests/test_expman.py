@@ -17,6 +17,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from neural_ode_features_tpu.utils.expman import Experiment
 
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
+
 WIDE = {f"flag_number_{i}": i * 0.5 for i in range(40)}  # very long name
 
 

@@ -17,6 +17,8 @@ from neural_ode_features_tpu.models import (
     resnet_block_states,
     resnet_logits,
 )
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
 
 CFG_MNIST = ModelConfig(in_channels=1, tol=1e-2)
 CFG_CIFAR = ModelConfig(in_channels=3, tol=1e-2)

@@ -10,6 +10,9 @@ from neural_ode_features_tpu.solver import SOLVERS, odeint
 
 from problems import ALL_PROBLEMS, EXPONENTIAL, SINE
 
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
+
 ADAPTIVE = ["dopri5", "bosh3", "fehlberg2", "tsit5"]
 FIXED = ["euler", "midpoint", "heun2", "rk4", "fixed_adams"]
 

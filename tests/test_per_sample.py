@@ -8,6 +8,10 @@ import numpy as np
 from neural_ode_features_tpu.solver import odeint
 
 from problems import STIFF_LAMBDA, STIFF_Y0, stiff_func_for, stiff_spread_exact
+import pytest
+
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
 
 
 def _solve(y0, lams, error_control, **kw):

@@ -21,6 +21,10 @@ import jax.numpy as jnp
 
 from neural_ode_features_tpu.solver import odeint, odeint_adjoint
 from neural_ode_features_tpu.solver.dense import odeint_dense
+import pytest
+
+# Core-correctness fast tier (pytest -m fast, VERDICT r4 #5).
+pytestmark = pytest.mark.fast
 
 HIGH = jax.lax.Precision.HIGHEST
 
