@@ -992,9 +992,18 @@ int main(int argc, char** argv) {
     // leading batch dim, a request may carry any 1..B rows (len = a multiple
     // of row_bytes).  The host coalesces whatever is queued — across ALL
     // connections — into one padded device batch per dispatch and answers
-    // each request with its own output-row slice.  Opportunistic only: a
-    // lone request dispatches immediately (zero added latency); coalescing
-    // happens exactly when requests are already waiting on the chip.
+    // each request with its own output-row slice.  Two rules make the
+    // queue actually form (measured r5: without them a single flooding
+    // connection got 64 requests = 64 dispatches, because one 64 KB read
+    // per poll cycle never completes a 393 KB frame before the eager
+    // dispatch drains the queue):
+    //   1. each poll cycle DRAINS the kernel buffer of a ready socket
+    //      (bounded per cycle), not just one read() worth;
+    //   2. a batch that would dispatch PARTIALLY FILLED is deferred while
+    //      any open connection still has readable bytes — the imminent
+    //      parse may top it up.  A lone request still dispatches the
+    //      moment its socket is dry (zero added latency); a flood
+    //      dispatches full batches.
     // Gated on meta_rowwise (the exporter's measured row-independence
     // flag), THEN the shape sanity checks — never shape alone (ADVICE r3).
     const long max_rows =
@@ -1164,10 +1173,25 @@ int main(int argc, char** argv) {
     // requests (from any mix of connections) as fit, in dispatch order,
     // padded with zeros; complete_oldest slices the output back out per
     // request.  A full-tensor request occupies a batch alone by size.
-    auto try_dispatch = [&] {
+    //
+    // input_dry: no open connection has readable-but-unparsed bytes.
+    // While input is NOT dry, only batches that assemble FULL are
+    // dispatched — a partial batch waits one read cycle for the queue to
+    // top up (see the coalescing comment above; this is what turns a
+    // single flooding connection's 64 lone dispatches into 8 full ones).
+    auto queued_input_bytes = [&] {
+      size_t tot = 0;
+      for (auto& up : conns)
+        for (auto& it : up->queue)
+          if (it.is_input) tot += it.payload.size();
+      return tot;
+    };
+    auto try_dispatch = [&](bool input_dry) {
       size_t n = conns.size();
       if (n == 0) return;
       while (flights.size() < 2) {
+        if (!input_dry && queued_input_bytes() < in_bytes)
+          break;  // more bytes are imminently parseable: let the batch fill
         std::vector<Seg> segs;
         size_t used = 0;  // bytes staged into req.data so far
         for (size_t k = 0; k < n; k++) {
@@ -1275,13 +1299,41 @@ int main(int argc, char** argv) {
         ssize_t r = read(c.fd, buf, sizeof buf);
         if (r > 0) {
           c.rbuf.insert(c.rbuf.end(), buf, buf + r);
+          // Drain what the kernel already holds (bounded per cycle so one
+          // firehose connection cannot starve the others): a request frame
+          // can span many 64 KB reads, and coalescing needs whole frames
+          // in the queue before the dispatch decision below.
+          size_t drained = static_cast<size_t>(r);
+          bool eof = false;  // parse() skips draining conns, so an EOF
+                             // seen mid-drain must be flagged AFTER the
+                             // bytes read in this cycle are parsed (a
+                             // shutdown/close frame followed by an
+                             // immediate client close would otherwise be
+                             // dropped unread).
+          while (drained < in_bytes + sizeof buf && fd_has_bytes(c.fd)) {
+            r = read(c.fd, buf, sizeof buf);
+            if (r > 0) {
+              c.rbuf.insert(c.rbuf.end(), buf, buf + r);
+              drained += static_cast<size_t>(r);
+            } else {
+              if (r == 0 || errno != EINTR) eof = true;
+              break;
+            }
+          }
           parse(c);
+          if (eof) c.draining = true;
         } else if (r == 0 || errno != EINTR) {
           c.draining = true;  // EOF/error: answer what's queued, close
         }
       }
 
-      try_dispatch();
+      bool input_dry = true;
+      for (auto& up : conns)
+        if (up->open && !up->draining && fd_has_bytes(up->fd)) {
+          input_dry = false;
+          break;
+        }
+      try_dispatch(input_dry);
       if (!flights.empty() &&
           (flights.size() >= 2 || !can_progress_without_chip()))
         complete_oldest();
