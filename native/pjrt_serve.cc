@@ -1281,6 +1281,14 @@ int main(int argc, char** argv) {
       if (pfds[0].revents & POLLIN) {
         int cfd = accept(lfd, nullptr, nullptr);
         if (cfd >= 0) {
+          // Widen the receive queue (best effort; kernel clamps): the
+          // coalescing factor for a flooding client is bounded by how
+          // many whole frames fit in kernel buffers when a batch is
+          // assembled — at the 208 KB default a 393 KB frame doesn't
+          // even fit once (unix sockets honor the WRITER's SO_SNDBUF,
+          // TCP this side's SO_RCVBUF; set both ends, r5).
+          int rcv = 4 << 20;
+          setsockopt(cfd, SOL_SOCKET, SO_RCVBUF, &rcv, sizeof rcv);
           uint32_t hlen = static_cast<uint32_t>(hello.size());
           if (write_full(cfd, &hlen, 4) &&
               write_full(cfd, hello.data(), hello.size())) {

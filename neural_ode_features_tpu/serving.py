@@ -211,6 +211,17 @@ class SocketClient:
         out_buf = memoryview(b"".join(payloads))
         rbuf = bytearray()
         results: list[np.ndarray] = []
+        # Widen the send buffer (best effort; kernel clamps to wmem_max,
+        # 208 KB default = HALF of one 32-row CIFAR frame).  The server's
+        # coalescing factor is bounded by how many whole frames sit in the
+        # kernel queue when it assembles a batch — measured on chip (r5):
+        # the default buffer capped a flooding connection at ~3.8
+        # requests/dispatch where a full batch holds 8.
+        try:
+            self._conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                  4 << 20)
+        except OSError:
+            pass
         self._conn.setblocking(False)
         try:
             while len(results) < n:
